@@ -1,0 +1,79 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+class TextSpec extends AnyFunSuite with PropHelpers {
+
+  def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  test("extract golden cases — byte-identical invariant") {
+    assert(TextExtract.extract(b("<html><body><p>hello world</p></body></html>"))
+      == "hello world")
+    assert(TextExtract.extract(b("<p>a&amp;b &lt;c&gt; &quot;d&quot; &#233; &#x41;</p>"))
+      == "a&b <c> \"d\" é A")
+    assert(TextExtract.extract(b("<div>a</div>  \n\t <div>b</div>")) == "a b")
+    assert(TextExtract.extract(b("x<script>var a = '<p>no</p>';</script>y")) == "xy")
+    assert(TextExtract.extract(b("x<style>p { color: red }</style>y")) == "xy")
+    assert(TextExtract.extract(b("<SCRIPT>s</SCRIPT>ok")) == "ok")
+    // unknown entity passes through; stray & kept
+    assert(TextExtract.extract(b("a &unknown; b & c")) == "a &unknown; b & c")
+    // malformed UTF-8 -> U+FFFD, fixed policy
+    val bad = Array[Byte]('a'.toByte, 0xC3.toByte, 'z'.toByte)
+    assert(TextExtract.extract(bad) == "a�z")
+    // utf-8 multibyte preserved
+    assert(TextExtract.extract(b("<p>café 中文</p>")) == "café 中文")
+  }
+
+  test("extract determinism: same bytes -> same string, repeated") {
+    val html = b("<html><p>a&amp;b</p><script>x</script> tail </html>")
+    val once = TextExtract.extract(html)
+    (1 to 100).foreach(_ => assert(TextExtract.extract(html) == once))
+  }
+
+  test("tagkey normalize golden cases") {
+    assert(TagKey.normalize("it", "colosseo") == "it:Colosseo")
+    assert(TagKey.normalize("en", "new_york_city") == "en:New york city")
+    assert(TagKey.normalize("EN ", "  spaced   title ") == "en:Spaced title")
+    assert(TagKey.normalize("de", "%C3%9Cberlingen") == "de:Überlingen")
+    assert(TagKey.normalize("fr", "caf%c3%a9") == "fr:Café")
+    assert(TagKey.normalize("en", "") == "en:")
+    assert(TagKey.normalize("en", "a") == "en:A")
+  }
+
+  test("normalize is idempotent on the title part") {
+    forAll(org.scalacheck.Arbitrary.arbitrary[String]) { s =>
+      val once = TagKey.normalizeTitle(s)
+      // percent-decoding twice can differ when the decode produces a new
+      // %XX; idempotence holds when the first pass leaves no '%'
+      if (!once.contains('%')) assert(TagKey.normalizeTitle(once) == once)
+    }
+  }
+
+  test("tag classification routes malformed values") {
+    assert(TagKey.classify("en:Foo") == TagKey.OK)
+    assert(TagKey.classify("nap:Napoli") == TagKey.OK)
+    assert(TagKey.classify("http://en.wikipedia.org/wiki/Foo") == TagKey.ErrUrl)
+    assert(TagKey.classify("https://x") == TagKey.ErrUrl)
+    assert(TagKey.classify("JustATitle") == TagKey.ErrMissingLang)
+    assert(TagKey.classify("en:") == TagKey.ErrMissingLang)
+    assert(TagKey.classify("english:Foo") == TagKey.ErrBadLang)
+    assert(TagKey.classify("  ") == TagKey.ErrEmpty)
+    assert(TagKey.parse("en:new_york") == Some("en:New york"))
+    assert(TagKey.parse("nope") == None)
+  }
+
+  test("geocode meta tags") {
+    assert(Geocode.fromString("""<meta name="geo.position" content="45.4;9.19">""")
+      == Some((45.4, 9.19)))
+    assert(Geocode.fromString("""<META NAME='geo.position' CONTENT='-1.5;-0.25'>""")
+      == Some((-1.5, -0.25)))
+    assert(Geocode.fromString("""<meta name="ICBM" content="50.1, 8.68">""")
+      == Some((50.1, 8.68)))
+    assert(Geocode.fromString("<p>no geo</p>") == None)
+    assert(Geocode.fromString("""<meta name="geo.position" content="999;0">""") == None)
+    // first geo.position wins over later ICBM
+    val both = """<meta name="geo.position" content="1;2"><meta name="ICBM" content="3, 4">"""
+    assert(Geocode.fromString(both) == Some((1.0, 2.0)))
+  }
+}
