@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.core.{Cells, Geo}
+
+/**
+ * Native Catalyst expressions for the hot-path geospatial scalar functions
+ * (SURVEY.md §2.H: promoted to `Expression` with codegen rather than Scala
+ * UDFs so they stay inside whole-stage codegen — each generated snippet is
+ * a static call into graft.core, no boxing, no serialization).
+ *
+ * All are deterministic and null-intolerant (null in -> null out), which
+ * Catalyst exploits for constant folding and filter inference.
+ */
+object CellRuntime {
+  // static entry points referenced from generated Java code
+  def encode(lat: Double, lon: Double, r: Int): Long = Cells.encode(lat, lon, r)
+  def parent(cell: Long, r: Int): Long = Cells.parent(cell, r)
+  def tileX(cell: Long): Long = Cells.toXY(cell)._1
+  def tileY(cell: Long): Long = Cells.toXY(cell)._2
+  def ring(cell: Long, k: Int): ArrayData = new GenericArrayData(Cells.ring(cell, k))
+  def disk(cell: Long, k: Int): ArrayData = new GenericArrayData(Cells.disk(cell, k))
+  def pip(lat: Double, lon: Double, rings: ArrayData): Boolean = {
+    val n = rings.numElements()
+    val arr = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) { arr(i) = rings.getArray(i).toDoubleArray(); i += 1 }
+    Geo.contains(lat, lon, arr)
+  }
+}
+
+case class CellEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_encode"
+  override protected def nullSafeEval(lat: Any, lon: Any, r: Any): Any =
+    CellRuntime.encode(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, r) =>
+      s"graft.functions.CellRuntime.encode($lat, $lon, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
+case class CellParent(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_parent"
+  override protected def nullSafeEval(cell: Any, r: Any): Any =
+    CellRuntime.parent(cell.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, r) =>
+      s"graft.functions.CellRuntime.parent($cell, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression):
+      Expression = copy(l, r)
+}
+
+case class CellTileX(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_tile_x"
+  override protected def nullSafeEval(cell: Any): Any =
+    CellRuntime.tileX(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.functions.CellRuntime.tileX($cell)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class CellTileY(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_tile_y"
+  override protected def nullSafeEval(cell: Any): Any =
+    CellRuntime.tileY(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.functions.CellRuntime.tileY($cell)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** ring(cell, k) -> ARRAY<LONG>: cells at Chebyshev distance exactly k. */
+case class CellRing(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_ring"
+  override protected def nullSafeEval(cell: Any, k: Any): Any =
+    CellRuntime.ring(cell.asInstanceOf[Long], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, k) =>
+      s"graft.functions.CellRuntime.ring($cell, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression):
+      Expression = copy(l, r)
+}
+
+/** disk(cell, k) -> ARRAY<LONG>: all cells within Chebyshev distance k. */
+case class CellDisk(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_disk"
+  override protected def nullSafeEval(cell: Any, k: Any): Any =
+    CellRuntime.disk(cell.asInstanceOf[Long], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, k) =>
+      s"graft.functions.CellRuntime.disk($cell, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression):
+      Expression = copy(l, r)
+}
+
+/** pip(lat, lon, rings ARRAY<ARRAY<DOUBLE>>) -> BOOLEAN, exact ray cast. */
+case class PipContains(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pip_contains"
+  override protected def nullSafeEval(lat: Any, lon: Any, rings: Any): Any =
+    CellRuntime.pip(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      rings.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, rings) =>
+      s"graft.functions.CellRuntime.pip($lat, $lon, $rings)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
+/** Column-API surface for the expressions above. */
+object GeoFunctions {
+  import ColumnBridge.{column, expression}
+
+  def cellEncode(lat: Column, lon: Column, r: Column): Column =
+    column(CellEncode(expression(lat), expression(lon), expression(r)))
+  def cellParent(cell: Column, r: Column): Column =
+    column(CellParent(expression(cell), expression(r)))
+  def cellTileX(cell: Column): Column = column(CellTileX(expression(cell)))
+  def cellTileY(cell: Column): Column = column(CellTileY(expression(cell)))
+  def cellRing(cell: Column, k: Column): Column =
+    column(CellRing(expression(cell), expression(k)))
+  def cellDisk(cell: Column, k: Column): Column =
+    column(CellDisk(expression(cell), expression(k)))
+  def pip(lat: Column, lon: Column, rings: Column): Column =
+    column(PipContains(expression(lat), expression(lon), expression(rings)))
+
+  /** Squared degree-space distance — composed from built-ins so it stays
+    * in codegen and mirrors the oracle SQL op order exactly. */
+  def d2(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
+
+  /** Register SQL names so spark.sql("... cell_encode(...)") works too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    add("cell_encode", e => CellEncode(e(0), e(1), e(2)))
+    add("cell_parent", e => CellParent(e(0), e(1)))
+    add("cell_tile_x", e => CellTileX(e(0)))
+    add("cell_tile_y", e => CellTileY(e(0)))
+    add("cell_ring", e => CellRing(e(0), e(1)))
+    add("cell_disk", e => CellDisk(e(0), e(1)))
+    add("pip_contains", e => PipContains(e(0), e(1), e(2)))
+  }
+}

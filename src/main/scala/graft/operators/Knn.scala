@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Cells
+import graft.functions.GeoFunctions
+
+/**
+ * Exact k-nearest-features via cell-ring expansion (SURVEY.md §2.C7,
+ * BASELINE.json north_star "kNN (cell-ring expansion)").
+ *
+ * Metric: squared Euclidean distance in degree space (Geo.d2 — fixed op
+ * order, reproduced by the oracle), ties broken by feature id, so the
+ * result is fully deterministic at any parallelism.
+ *
+ * Algorithm (batch, distributed, exact): features are indexed by their
+ * cell at `indexRes`. Rounds with doubling Chebyshev radius n: each
+ * unresolved point explodes its cell-disk(n), equi-joins the feature index,
+ * keeps its top-k by (d2, fid). A point is RESOLVED when it has k
+ * candidates with max distance <= n * minCellDim — every feature outside
+ * disk(n) is at coordinate separation >= n * minCellDim, so nothing closer
+ * can exist outside the searched disk (cells are uniform in degrees; the
+ * disk wraps longitude, and wrapped grid distance lower-bounds unwrapped
+ * degree distance). Remaining points advance to radius 2n.
+ */
+object Knn {
+
+  def nearest(points: DataFrame, keyCol: String,
+              features: DataFrame, fidCol: String,
+              k: Int, indexRes: Int = 7, maxRounds: Int = 12): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val (dLon, dLat) = Cells.cellSizeDeg(indexRes)
+    val minDim = math.min(dLon, dLat)
+    val gridMax = 1 << indexRes // disk radius covering the whole grid
+
+    val fIdx = features
+      .withColumn("fcell", GeoFunctions.cellEncode($"lat", $"lon", lit(indexRes)))
+      .select(col(fidCol).as("__fid"), $"lat".as("__flat"), $"lon".as("__flon"), $"fcell")
+
+    val pts = points
+      .select(col(keyCol).as("__k"), $"lat".as("__plat"), $"lon".as("__plon"))
+      .withColumn("pcell", GeoFunctions.cellEncode($"__plat", $"__plon", lit(indexRes)))
+
+    var unresolved = pts
+    var acc: DataFrame = null
+    var n = 1
+    var round = 0
+    val w = Window.partitionBy($"__k").orderBy($"d2", $"__fid")
+
+    while (round < maxRounds && !unresolved.isEmpty) {
+      val candidates = unresolved
+        .withColumn("probe", explode(GeoFunctions.cellDisk($"pcell", lit(n))))
+        .join(fIdx.hint("broadcast"), $"probe" === fIdx("fcell"))
+        .withColumn("d2", GeoFunctions.d2($"__plat", $"__plon", $"__flat", $"__flon"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= k)
+
+      val guarantee = n.toDouble * minDim
+      val full = n >= gridMax // disk covered the whole grid: always resolved
+      val stats = candidates.groupBy($"__k")
+        .agg(count("*").as("__cnt"), max($"d2").as("__dmax"))
+        .withColumn("__done",
+          lit(full) || ($"__cnt" === k && sqrt($"__dmax") <= guarantee))
+
+      val resolvedNow = candidates.join(
+        stats.where($"__done").select("__k"), "__k")
+      acc = if (acc == null) resolvedNow.localCheckpoint(true)
+            else acc.union(resolvedNow).localCheckpoint(true)
+      unresolved = unresolved.join(
+        stats.where($"__done").select("__k"), Seq("__k"), "left_anti")
+        .localCheckpoint(true)
+      n = n * 2
+      round += 1
+    }
+    require(unresolved.isEmpty, s"kNN did not converge in $maxRounds rounds")
+    acc.select($"__k".as(keyCol), $"rank", $"__fid".as(fidCol), $"d2")
+  }
+
+  /** Brute-force reference (test oracle + small-input fallback). */
+  def bruteForce(points: DataFrame, keyCol: String,
+                 features: DataFrame, fidCol: String, k: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"__k").orderBy($"d2", $"__fid")
+    points.select(col(keyCol).as("__k"), $"lat".as("__plat"), $"lon".as("__plon"))
+      .crossJoin(features.select(col(fidCol).as("__fid"),
+        $"lat".as("__flat"), $"lon".as("__flon")))
+      .withColumn("d2", GeoFunctions.d2($"__plat", $"__plon", $"__flat", $"__flon"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"__k".as(keyCol), $"rank", $"__fid".as(fidCol), $"d2")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`ARRAY<FLOAT>`).
+ *
+ * Exact-match discipline: ranking uses a QUANTIZED integer dot product
+ * (floor(x*1000) per component, 64-bit accumulation) so scores are
+ * order-of-summation independent and bit-identical in Spark and the DuckDB
+ * oracle. A double-precision cosine is also provided for reporting.
+ *
+ * Scale paths: brute-force top-k is the baseline (O(Q x N) — fine when the
+ * query set is small and broadcast); the LSH variant buckets vectors by
+ * deterministic hyperplane sign bits so candidate generation is
+ * bucket-local (the 100 TB path: bucket ids are shuffle keys).
+ */
+object Similarity {
+
+  /** floor(x*1000) per component, as ARRAY<BIGINT>. */
+  def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors (zip_with + aggregate —
+    * codegen'd built-ins, no UDF). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Double cosine similarity (reporting only — not oracle-checked). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k neighbors by quantized dot product (desc), ties by
+    * neighbor id asc; self-pairs excluded. `queries` and `corpus` both
+    * need (idCol, vecCol). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      quantized(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"),
+      quantized(col(vecCol)).as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    q.join(c, col("qid") =!= col("nid"))
+      .withColumn("score", qdot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+  }
+
+  /** Deterministic pseudo-hyperplane sign: component i of plane j is
+    * +1 when (i*31 + j*17) % 7 < 3 else -1 (fixed, seedless, and trivially
+    * reproducible in SQL). Bucket id packs `planes` sign bits. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val qv = quantized(vec)
+    (0 until planes).map { j =>
+      val signedSum = aggregate(
+        zip_with(qv, lshPlane(dim, j),
+          (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+      when(signedSum > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  private def lshPlane(dim: Int, j: Int): Column =
+    array((0 until dim).map(i =>
+      lit(if ((i * 31 + j * 17) % 7 < 3) 1L else -1L)): _*)
+
+  /** Bucketed ANN: candidates share the query's bucket (or any bucket at
+    * Hamming distance <= 1 when `probe1` — multiprobe improves recall),
+    * then exact quantized scoring + top-k inside the candidate set. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, planes: Int,
+              probe1: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      quantized(col(vecCol)).as("nv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val qBase = queries.select(col(idCol).as("qid"),
+      quantized(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), dim, planes).as("qbucket"))
+    val probes =
+      if (!probe1) qBase.withColumn("bucket", col("qbucket"))
+      else qBase.withColumn("bucket", explode(array(
+        (col("qbucket") +: (0 until planes).map(j =>
+          col("qbucket").bitwiseXOR(lit(1L << j)))): _*)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    probes.join(c, Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", qdot(col("qv"), col("nv")))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline over a
+ * `documents`-like relation: language-ID (marker-word heuristic), quality
+ * scoring, token counting, and document fingerprinting. All counts are
+ * exact integers (float ratios are derived, never oracle-compared).
+ */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/stopword language heuristic.
+    * Deterministic and tiny by design; precision comes from the argmax
+    * over ALL lists, ties broken by language code. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una"),
+    "it" -> Seq("il", "la", "che", "di", "non", "per"))
+
+  /** Count of words from `list` present in the space-split text. */
+  def markerHits(textCol: Column, list: Seq[String]): Column =
+    size(filter(split(textCol, " "),
+      w => list.map(m => w === m).reduce(_ || _)))
+
+  /** (doc rows) + lang_pred + per-language hit counts. Argmax across
+    * languages, ties -> lexicographically smallest language code. */
+  def languageId(docs: DataFrame, textCol: String): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val withHits = langs.foldLeft(docs) { (df, l) =>
+      df.withColumn(s"hits_$l", markerHits(col(textCol), markers(l)))
+    }
+    // argmax with deterministic tiebreak: sort (hits desc, lang asc)
+    val best = array_sort(array(langs.map(l =>
+      struct((lit(1000000) - col(s"hits_$l")).as("neg"), lit(l).as("lang"))): _*))
+    withHits.withColumn("lang_pred", element_at(best, 1).getField("lang"))
+  }
+
+  /** Exact-integer quality metrics per document. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars_m"),
+      size(split(t, " ")).as("n_words"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"),
+      (length(t) - length(regexp_replace(t, "[A-Z]", ""))).as("n_upper"),
+      (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).as("n_punct"),
+      size(array_distinct(split(t, " "))).as("n_distinct_words"))
+  }
+
+  /** Token counts: whitespace tokens and regex word tokens ([a-z0-9]+ over
+    * the lowercased text — a BPE-ish pre-tokenizer's word splitter). */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), "\\s+")).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("n_word_tokens"))
+
+  /** Normalized-content fingerprint: md5 of (lowercase, non-alnum runs ->
+    * single space, trimmed) text — catches formatting-only duplicates that
+    * exact dedup misses. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")))
+        .as("fingerprint"))
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.operators.{Knn, SpatialJoin, TileAgg}
+import graft.sources.GeoFixtures
+
+/**
+ * The geospatial pipeline as driver-checkable queries (SURVEY.md §2.B4-B7,
+ * C1-C8, plus the tag-match relational semantics §1.2). Inputs derive
+ * deterministically from the driver testdata (GeoFixtures); oracles are
+ * generated SQL — Morton arithmetic for cell ids, brute-force ray-cast
+ * parity for PIP (the engine's cover+refine must agree exactly), window
+ * top-k over the same quantized metric for kNN.
+ */
+object GeoQueries {
+  import GeoFixtures._
+
+  private def points12(s: SparkSession, d: String): DataFrame =
+    points(s, d).withColumn("cell12",
+      GeoFunctions.cellEncode(col("lat"), col("lon"), lit(12)))
+
+  private val cellSqlR12 = cellEncodeSql("lat", "lon", 12)
+
+  /** Matched (k, region_id) via the engine's cover+PIP plan. */
+  def assigned(s: SparkSession, d: String,
+               mode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame =
+    SpatialJoin.assign(points(s, d), "k", SpatialJoin.coverDF(s), mode)
+
+  private val spatialJoinOracle: String =
+    s"""WITH pts AS (${pointsSql}),
+       |${pipMatchesSql}
+       |SELECT k, region_id FROM pip_matches""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q_geo_cell_encode",
+      s"""WITH pts AS (${pointsSql})
+         |SELECT k, ${cellSqlR12} AS cell12,
+         |  ${cellParentSql(cellSqlR12, 12, 8)} AS cell8,
+         |  ${tileXSql(cellParentSql(cellSqlR12, 12, 8), 8)} AS tile_x,
+         |  ${tileYSql(cellParentSql(cellSqlR12, 12, 8), 8)} AS tile_y
+         |FROM pts""".stripMargin) { (s, d) =>
+      points12(s, d).select(col("k"), col("cell12"),
+        GeoFunctions.cellParent(col("cell12"), lit(8)).as("cell8"),
+        GeoFunctions.cellTileX(GeoFunctions.cellParent(col("cell12"), lit(8))).as("tile_x"),
+        GeoFunctions.cellTileY(GeoFunctions.cellParent(col("cell12"), lit(8))).as("tile_y"))
+    },
+
+    QueryDef.sql("q_geo_spatial_join", spatialJoinOracle) { (s, d) =>
+      assigned(s, d).select("k", "region_id")
+    },
+
+    QueryDef.sql("q_geo_join_shuffle", spatialJoinOracle) { (s, d) =>
+      assigned(s, d, SpatialJoin.Shuffle).select("k", "region_id")
+    },
+
+    QueryDef.sql("q_geo_join_salted",
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql}
+         |SELECT k, region_id FROM pip_matches WHERE region_id = 7""".stripMargin) { (s, d) =>
+      // the mega region drives skew: prove the salted shuffle path returns
+      // identical rows for the hot polygon
+      assigned(s, d, SpatialJoin.ShuffleSalted(8))
+        .where(col("region_id") === 7).select("k", "region_id")
+    },
+
+    QueryDef.sql("q_geo_tile_agg", {
+      val tile7 = cellParentSql(cellEncodeSql("p.lat", "p.lon", 12), 12, 7)
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql}
+         |SELECT ${tileXSql(tile7, 7)} AS tile_x, ${tileYSql(tile7, 7)} AS tile_y,
+         |  m.region_id, CAST(count(*) AS BIGINT) AS n
+         |FROM pip_matches m JOIN pts p ON m.k = p.k
+         |GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, d) =>
+      TileAgg.perRegion(assigned(s, d), 7).select("tile_x", "tile_y", "region_id", "n")
+    },
+
+    QueryDef.sql("q_geo_tile_coverage", {
+      val tile7 = cellParentSql(cellEncodeSql("lat", "lon", 12), 12, 7)
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql},
+         |tiled AS (SELECT k, ${tileXSql(tile7, 7)} AS tile_x,
+         |            ${tileYSql(tile7, 7)} AS tile_y FROM pts),
+         |matched AS (SELECT DISTINCT k FROM pip_matches)
+         |SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS pages,
+         |  CAST(count(m.k) AS BIGINT) AS matched
+         |FROM tiled LEFT JOIN matched m USING (k)
+         |GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      TileAgg.coverage(points(s, d), assigned(s, d), "k", 7)
+        .select("tile_x", "tile_y", "pages", "matched")
+    },
+
+    QueryDef.sql("q_geo_knn",
+      s"""WITH pts AS (SELECT * FROM (${pointsSql}) WHERE k % 100 = 0),
+         |feats AS (${featuresSql}),
+         |scored AS (
+         |  SELECT p.k, f.fid,
+         |    (p.lat - f.lat) * (p.lat - f.lat)
+         |      + (p.lon - f.lon) * (p.lon - f.lon) AS d2,
+         |    row_number() OVER (PARTITION BY p.k ORDER BY
+         |      (p.lat - f.lat) * (p.lat - f.lat)
+         |        + (p.lon - f.lon) * (p.lon - f.lon), f.fid) AS rank
+         |  FROM pts p CROSS JOIN feats f)
+         |SELECT k, rank, fid FROM scored WHERE rank <= 3""".stripMargin) { (s, d) =>
+      Knn.nearest(points(s, d).where(col("k") % 100 === 0), "k",
+          features(s, d), "fid", k = 3)
+        .select("k", "rank", "fid")
+    },
+
+    QueryDef.sql("q_geo_tag_match",
+      s"""WITH pts AS (${pointsSql}),
+         |feats AS (${featuresSql}),
+         |keyed AS (
+         |  SELECT k, lang || ':' ||
+         |    upper(substr(replace(substr(wiki_raw, length(lang) + 2), '_', ' '), 1, 1)) ||
+         |    substr(replace(substr(wiki_raw, length(lang) + 2), '_', ' '), 2) AS tag_key
+         |  FROM pts
+         |  WHERE wiki_raw NOT LIKE 'http%' AND wiki_raw LIKE '%:%')
+         |SELECT DISTINCT p.k, p.tag_key
+         |FROM keyed p JOIN (SELECT DISTINCT tag_key FROM feats) f USING (tag_key)""".stripMargin) { (s, d) =>
+      val keyed = points(s, d)
+        .withColumn("tag_key", TextFunctions.tagParse(col("wiki_raw")))
+        .where(col("tag_key").isNotNull)
+      keyed.join(features(s, d).select("tag_key").distinct(), Seq("tag_key"))
+        .select("k", "tag_key").distinct()
+    },
+
+    QueryDef.sql("q_geo_tag_untagged",
+      s"""WITH pts AS (${pointsSql}),
+         |feats AS (${featuresSql}),
+         |keyed AS (
+         |  SELECT k, lang, lang || ':' ||
+         |    upper(substr(replace(substr(wiki_raw, length(lang) + 2), '_', ' '), 1, 1)) ||
+         |    substr(replace(substr(wiki_raw, length(lang) + 2), '_', ' '), 2) AS tag_key
+         |  FROM pts
+         |  WHERE wiki_raw NOT LIKE 'http%' AND wiki_raw LIKE '%:%')
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_untagged
+         |FROM keyed p
+         |WHERE NOT EXISTS (SELECT 1 FROM feats f WHERE f.tag_key = p.tag_key)
+         |GROUP BY lang""".stripMargin) { (s, d) =>
+      val keyed = points(s, d)
+        .withColumn("tag_key", TextFunctions.tagParse(col("wiki_raw")))
+        .where(col("tag_key").isNotNull)
+      keyed.join(features(s, d), Seq("tag_key"), "left_anti")
+        .groupBy("lang").agg(count("*").as("n_untagged"))
+    },
+
+    QueryDef.sql("q_geo_tag_errors",
+      s"""WITH pts AS (${pointsSql})
+         |SELECT k,
+         |  CASE WHEN wiki_raw LIKE 'http://%' OR wiki_raw LIKE 'https://%'
+         |         THEN 'url_value'
+         |       ELSE 'missing_lang' END AS error_class
+         |FROM pts
+         |WHERE wiki_raw LIKE 'http%' OR wiki_raw NOT LIKE '%:%'""".stripMargin) { (s, d) =>
+      points(s, d)
+        .withColumn("error_class", TextFunctions.tagClassify(col("wiki_raw")))
+        .where(col("error_class") =!= "ok")
+        .select("k", "error_class")
+    },
+
+    QueryDef.sql("q_geo_region_rollup",
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql}
+         |SELECT CAST(region_id % 3 AS BIGINT) AS theme, region_id,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pip_matches GROUP BY ROLLUP (theme, region_id)""".stripMargin) { (s, d) =>
+      assigned(s, d)
+        .select((col("region_id") % 3).as("theme"), col("region_id"))
+        .rollup(col("theme"), col("region_id"))
+        .agg(count("*").as("n"))
+        .select("theme", "region_id", "n")
+    })
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational-core, scalar-function and window-function coverage
+ * (SURVEY.md §2 rows A4-A15, B9-B12, D1-D3) over the driver testdata.
+ *
+ * Oracle-compare discipline: aggregates of floating columns are avoided or
+ * made exact (floor -> BIGINT) because sum-of-double is order-dependent;
+ * copied doubles are fine (bit-identical). DuckDB SUM(BIGINT) returns
+ * HUGEINT, so oracle sums are CAST back to BIGINT.
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q_a4_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    QueryDef.sql("q_a5_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_i
+        |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").where(col("l_orderkey") % 10 === 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          floor(col("l_quantity")).cast("long").as("qty_i"))
+    },
+
+    QueryDef.sql("q_a6_join",
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_custs
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count("*").as("n_orders"),
+          countDistinct("c_custkey").as("n_custs"))
+    },
+
+    QueryDef.sql("q_a7_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin) { (s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    QueryDef.sql("q_a7_anti",
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey")
+    },
+
+    QueryDef.sql("q_a8_distinct",
+      "SELECT DISTINCT lang, source FROM documents") { (s, d) =>
+      t(s, d, "documents").select("lang", "source").distinct()
+    },
+
+    QueryDef.sql("q_a9_groupagg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count("*").as("n"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          countDistinct("l_orderkey").as("n_orders"))
+    },
+
+    QueryDef.sql("q_a10_rollup",
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        // rollup(String*) trips the ambiguous-self-join analyzer check on
+        // post-join lineage in Spark 4.1; the Column overload resolves fine
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count("*").as("n_cust"))
+    },
+
+    QueryDef.sql("q_a11_cube",
+      """SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY CUBE (event_type, user_bucket)""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .withColumn("user_bucket", col("user_id") % 5)
+        .cube("event_type", "user_bucket")
+        .agg(count("*").as("n"))
+    },
+
+    QueryDef.sql("q_a12_topn",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25).select("o_orderkey", "o_totalprice")
+    },
+
+    QueryDef.sql("q_a13_topk_group",
+      """SELECT c_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey AS c_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("rn"))
+    },
+
+    QueryDef.sql("q_a14_setops",
+      """WITH y97 AS (SELECT DISTINCT o_custkey k FROM orders
+        |              WHERE year(o_orderdate) = 1997),
+        |     y98 AS (SELECT DISTINCT o_custkey k FROM orders
+        |              WHERE year(o_orderdate) = 1998)
+        |SELECT 'only97' AS tag, k FROM (SELECT k FROM y97 EXCEPT SELECT k FROM y98)
+        |UNION ALL
+        |SELECT 'both' AS tag, k FROM (SELECT k FROM y97 INTERSECT SELECT k FROM y98)""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val y97 = o.where(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey").as("k")).distinct()
+      val y98 = o.where(year(col("o_orderdate")) === 1998)
+        .select(col("o_custkey").as("k")).distinct()
+      y97.except(y98).withColumn("tag", lit("only97"))
+        .unionByName(y97.intersect(y98).withColumn("tag", lit("both")))
+        .select("tag", "k")
+    },
+
+    QueryDef.sql("q_a15_delta",
+      """WITH cur AS (SELECT o_custkey k, CAST(count(*) AS BIGINT) n FROM orders
+        |             WHERE year(o_orderdate) = 1998 GROUP BY o_custkey),
+        |     prev AS (SELECT o_custkey k, CAST(count(*) AS BIGINT) n FROM orders
+        |             WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+        |SELECT coalesce(cur.k, prev.k) AS k,
+        |  coalesce(cur.n, 0) - coalesce(prev.n, 0) AS delta
+        |FROM cur FULL OUTER JOIN prev ON cur.k = prev.k""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val cur = o.where(year(col("o_orderdate")) === 1998)
+        .groupBy(col("o_custkey").as("k")).agg(count("*").as("n"))
+      val prev = o.where(year(col("o_orderdate")) === 1997)
+        .groupBy(col("o_custkey").as("k")).agg(count("*").as("n"))
+      cur.as("c").join(prev.as("p"), col("c.k") === col("p.k"), "full_outer")
+        .select(coalesce(col("c.k"), col("p.k")).as("k"),
+          (coalesce(col("c.n"), lit(0L)) - coalesce(col("p.n"), lit(0L))).as("delta"))
+    },
+
+    QueryDef.sql("q_b9_time",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events").groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count("*").as("n"), countDistinct("user_id").as("n_users"))
+    },
+
+    QueryDef.sql("q_b10_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .agg(count("*").as("n"))
+    },
+
+    QueryDef.sql("q_b11_array",
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim, label,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS q0
+        |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings").where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), size(col("embedding")).as("dim"), col("label"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000)
+            .cast("long").as("q0"))
+    },
+
+    QueryDef.sql("q_b12_url",
+      """SELECT regexp_extract('https://' || source || '.example.org/doc/' || doc_id,
+        |    'https://([^/]+)/', 1) AS host,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/doc/"), col("doc_id")))
+        .groupBy(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"))
+        .agg(count("*").as("n"))
+    },
+
+    QueryDef.sql("q_d2_lag",
+      """SELECT event_id,
+        |  event_id - lag(event_id) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"),
+          (col("event_id") - lag(col("event_id"), 1).over(w)).as("gap"))
+    },
+
+    QueryDef.sql("q_d3_moving",
+      """SELECT event_id,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS msum
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      t(s, d, "events")
+        .select(col("event_id"),
+          sum(floor(col("value")).cast("long")).over(w).as("msum"))
+    })
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Training-data pipeline operators as driver-checkable queries:
+ * deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+ * similarity search over embeddings (brute-force + LSH-bucketed, exact
+ * quantized scoring), and text analysis (language-ID, quality, tokens,
+ * fingerprints). documents has no exact duplicates at small sf, so dedup
+ * queries add deterministic copies (doc_id % 10 == 0 shifted by 1e6).
+ */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents + injected duplicates, both engine- and oracle-side. */
+  private def dupDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+  private val dupDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |WHERE doc_id % 10 = 0""".stripMargin
+
+  // DuckDB mirror of Dedup.shingles / Dedup.minhash (w=3)
+  private def minhashSqlExpr(seed: Int): String =
+    s"""list_aggregate(list_transform(
+       |  CASE WHEN len(string_split(text, ' ')) < 3
+       |       THEN [array_to_string(string_split(text, ' '), ' ')]
+       |       ELSE [array_to_string(string_split(text, ' ')[j+1:j+3], ' ')
+       |             for j in range(0, len(string_split(text, ' ')) - 2)] END,
+       |  s -> md5('$seed|' || s)), 'min')""".stripMargin
+
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  private def lshPlaneSql(dim: Int, j: Int): String =
+    (0 until dim).map(i => if ((i * 31 + j * 17) % 7 < 3) "1" else "-1")
+      .mkString("[", ",", "]")
+
+  private def lshBucketSql(dim: Int, planes: Int): String =
+    (0 until planes).map { j =>
+      s"""CASE WHEN CAST(list_sum(list_transform(
+         |  list_zip(${qvSql}, ${lshPlaneSql(dim, j)}), p -> p[1]*p[2]))
+         |  AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def simhashBitsSql(bits: Int): (String, String) = {
+    val sums = (0 until bits).map { b =>
+      val pos = b / 4 + 1
+      val sh = 3 - b % 4
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until bits).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    (sums, fp)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q_dup_exact",
+      s"""WITH docs AS ($dupDocsSql)
+         |SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS rep_id,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM docs GROUP BY 1 HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      Dedup.exact(dupDocs(s, d))
+    },
+
+    QueryDef.sql("q_dup_minhash_sig",
+      s"""SELECT doc_id,
+         |  ${minhashSqlExpr(0)} AS mh0, ${minhashSqlExpr(1)} AS mh1,
+         |  ${minhashSqlExpr(2)} AS mh2, ${minhashSqlExpr(3)} AS mh3
+         |FROM documents""".stripMargin) { (s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text",
+        w = 3, numHashes = 4)
+    },
+
+    QueryDef.sql("q_dup_minhash_pairs",
+      s"""WITH docs AS ($dupDocsSql),
+         |sigs AS (SELECT doc_id,
+         |  ${minhashSqlExpr(0)} AS mh0, ${minhashSqlExpr(1)} AS mh1,
+         |  ${minhashSqlExpr(2)} AS mh2, ${minhashSqlExpr(3)} AS mh3
+         |  FROM (SELECT doc_id, text FROM docs) _),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs)
+         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin) { (s, d) =>
+      Dedup.minhashCandidatePairs(dupDocs(s, d), "doc_id", "text",
+        w = 3, numHashes = 4, rowsPerBand = 2)
+    },
+
+    QueryDef.sql("q_dup_simhash", {
+      val (sums, fp) = simhashBitsSql(16)
+      s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |hh AS (SELECT doc_id, md5(w) AS h FROM words),
+         |sums AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums""".stripMargin
+    }) { (s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text", bits = 16)
+    },
+
+    QueryDef.sql("q_dup_ngram_jaccard",
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        |g AS (SELECT id_a, id_b,
+        |  list_distinct([substr(ta, i+1, 3) for i in range(0, greatest(len(ta)-3, 0) + 1)]) AS ga,
+        |  list_distinct([substr(tb, i+1, 3) for i in range(0, greatest(len(tb)-3, 0) + 1)]) AS gb
+        |  FROM pairs)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(ga, gb)) AS INT) AS inter,
+        |  CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS INT) AS uni
+        |FROM g""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3)
+    },
+
+    QueryDef.sql("q_sim_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, $qvSql AS qv FROM embeddings
+         |           WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id AS nid, $qvSql AS nv FROM embeddings),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    CAST(list_sum(list_transform(list_zip(qv, nv), p -> p[1]*p[2]))
+         |      AS BIGINT) AS score
+         |  FROM q JOIN c ON qid != nid),
+         |ranked AS (SELECT qid, nid, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, nid, score FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") % 97 === 0), emb,
+        "vec_id", "embedding", k = 5)
+    },
+
+    QueryDef.sql("q_sim_lsh_bucket",
+      s"""SELECT vec_id, CAST(${lshBucketSql(64, 8)} AS BIGINT) AS bucket
+         |FROM embeddings""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), dim = 64, planes = 8).as("bucket"))
+    },
+
+    QueryDef.rowsOnly("q_sim_lsh_topk") { (s, d) =>
+      // ANN path: bucket-local candidates + exact rescoring. Approximate
+      // by construction, so no SQL oracle; recall vs brute force is
+      // asserted in SimilaritySpec.
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.where(col("vec_id") % 97 === 0), emb,
+        "vec_id", "embedding", k = 5, dim = 64, planes = 8)
+    },
+
+    QueryDef.sql("q_text_langid", {
+      val perLang = TextAnalysis.markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+        val lst = ws.mkString("['", "','", "']")
+        s"""SELECT doc_id, '$l' AS cand,
+           |  len(list_filter(string_split(text, ' '),
+           |      w -> list_contains($lst, w))) AS n_hits
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hits AS (
+         |$perLang),
+         |ranked AS (SELECT doc_id, cand, n_hits,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand) AS rn
+         |  FROM hits)
+         |SELECT doc_id, cand AS lang_pred, CAST(n_hits AS INT) AS hits
+         |FROM ranked WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+      val langs = TextAnalysis.markers.keys.toSeq.sorted
+      val scored = TextAnalysis.languageId(t(s, d, "documents"), "text")
+      scored.select(col("doc_id"), col("lang_pred"),
+        greatest(langs.map(l => col(s"hits_$l")): _*).as("hits"))
+    },
+
+    QueryDef.sql("q_text_quality",
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words
+        |FROM documents""".stripMargin) { (s, d) =>
+      TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")
+    },
+
+    QueryDef.sql("q_text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_word_tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      TextAnalysis.tokens(t(s, d, "documents"), "doc_id", "text")
+    },
+
+    QueryDef.sql("q_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin) { (s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text")
+    })
+}
