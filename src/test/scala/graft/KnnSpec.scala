@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, Similarity}
+import graft.sources.GeoFixtures
+
+class KnnSpec extends SparkTestBase {
+
+  test("ring-expansion kNN equals brute force (k=3, deterministic ties)") {
+    val pts = GeoFixtures.points(spark, sfDir).where(col("k") % 10 === 0)
+    val feats = GeoFixtures.features(spark, sfDir)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "rank", "fid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fast = toSet(Knn.nearest(pts, "k", feats, "fid", k = 3))
+    val slow = toSet(Knn.bruteForce(pts, "k", feats, "fid", k = 3))
+    assert(fast.nonEmpty && fast == slow)
+  }
+
+  test("kNN at k=8 and coarse index also matches brute force") {
+    val pts = GeoFixtures.points(spark, sfDir).where(col("k") % 50 === 0)
+    val feats = GeoFixtures.features(spark, sfDir)
+      .where(col("fid") % 7 === 0) // sparser features force ring growth
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "rank", "fid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fast = toSet(Knn.nearest(pts, "k", feats, "fid", k = 8, indexRes = 6))
+    val slow = toSet(Knn.bruteForce(pts, "k", feats, "fid", k = 8))
+    assert(fast.nonEmpty && fast == slow)
+  }
+
+  test("LSH ANN: scores are exact and recall@5 is usable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 5, dim = 64, planes = 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+    // every ANN row's score must equal the true quantized dot product
+    val annRows = ann.collect().map(r =>
+      (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val trueScores = Similarity
+      .bruteForceTopK(queries, emb, "vec_id", "embedding", k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    annRows.foreach { case (k, s) => assert(trueScores(k) == s) }
+    // recall@5 over the query set
+    val annSet = ann.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = annSet.intersect(exactSet).size.toDouble / exactSet.size
+    info(f"LSH recall@5 = $recall%.3f over ${exactSet.size / 5} queries")
+    assert(recall >= 0.25, f"recall $recall too low")
+  }
+}

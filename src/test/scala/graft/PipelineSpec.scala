@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Geocode, Polygons, TextExtract}
+import graft.operators.SpatialJoin
+import graft.sources.{GeoFixtures, Pages}
+
+/** End-to-end flagship pipeline vs a naive in-test oracle (SURVEY.md §5.2-3:
+  * the committed mini-oracle role), plus join-mode equivalence and plan
+  * shape assertions. */
+class PipelineSpec extends SparkTestBase {
+  import java.nio.charset.StandardCharsets
+
+  val nPages = 2000L
+
+  test("flagship spatial join matches naive per-row oracle exactly") {
+    val pages = Pages.synthesize(spark, nPages, numPartitions = 16)
+    val got = Pipeline.matches(spark, pages)
+      .select("url", "region_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // naive oracle: decode html -> geocode -> O(n*m) PIP over all parts
+    val raw = pages.select("url", "html").collect()
+    val expected = raw.flatMap { r =>
+      val url = r.getString(0)
+      val html = new String(r.getAs[Array[Byte]](1), StandardCharsets.UTF_8)
+      Geocode.fromString(html).toSeq.flatMap { case (lat, lon) =>
+        Polygons.regionsContaining(lat, lon).map(url -> _)
+      }
+    }.toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("geocoded fraction and hot cluster are as designed") {
+    val pages = Pages.synthesize(spark, nPages, 8)
+    val pts = Pipeline.geocode(pages)
+    val n = pts.count()
+    assert(n == (0L until nPages).count(i => i % 3 < 2))
+    val hot = pts.where(col("lat").between(9.8, 10.0) &&
+      col("lon").between(19.8, 20.0)).count()
+    assert(hot >= n * 12 / 100, s"hot=$hot of $n") // ~15% by construction
+  }
+
+  test("join modes (broadcast / shuffle / salted) return identical rows") {
+    val pts = GeoFixtures.points(spark, sfDir)
+    val cover = SpatialJoin.coverDF(spark)
+    def run(m: SpatialJoin.Mode) =
+      SpatialJoin.assign(pts, "k", cover, m).select("k", "region_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = run(SpatialJoin.Broadcast)
+    assert(b.nonEmpty)
+    assert(run(SpatialJoin.Shuffle) == b)
+    assert(run(SpatialJoin.ShuffleSalted(4)) == b)
+    assert(run(SpatialJoin.ShuffleSalted(16)) == b)
+  }
+
+  test("spatial join output is unique per (key, region)") {
+    val out = GeoQueriesHelper.assigned(spark, sfDir)
+    assert(out.groupBy("k", "region_id").count().where(col("count") > 1).isEmpty)
+  }
+
+  test("text invariant: extract(html) == text column, byte-identical") {
+    val pages = Pages.synthesize(spark, 500, 4)
+    assert(Pipeline.textInvariantViolations(pages).isEmpty)
+    // and the engine expression agrees with the core function row-by-row
+    val rows = pages.select("html", "text").collect()
+    rows.foreach { r =>
+      assert(TextExtract.extract(r.getAs[Array[Byte]](0)) == r.getString(1))
+    }
+  }
+
+  test("plan: downstream of geocode never reads html/text columns") {
+    // write a real parquet, read back, run the match plan — the scan's
+    // ReadSchema must contain url+html only (geocode needs html; text,
+    // lang, warc_ts must be pruned)
+    val dir = java.nio.file.Files.createTempDirectory("graftpages").toString
+    Pages.synthesize(spark, 500, 4).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    val plan = Pipeline.matches(spark, pages).queryExecution.executedPlan.toString
+    val scanSchema = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(scanSchema.contains("url") && scanSchema.contains("html"), scanSchema)
+    assert(!scanSchema.contains("text") && !scanSchema.contains("warc_ts") &&
+      !scanSchema.contains("lang"), scanSchema)
+  }
+
+  test("plan: filters push down to parquet scans") {
+    val plan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity,45"), plan.take(2000))
+  }
+
+  test("plan: broadcast mode uses BroadcastHashJoin, shuffle uses SortMergeJoin") {
+    val pts = GeoFixtures.points(spark, sfDir)
+    val cover = SpatialJoin.coverDF(spark)
+    val bPlan = SpatialJoin.assign(pts, "k", cover, SpatialJoin.Broadcast)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(1500))
+    val sPlan = SpatialJoin.assign(pts, "k", cover, SpatialJoin.Shuffle)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("SortMergeJoin"), sPlan.take(1500))
+  }
+
+  test("flagship entry returns rows at smoke scale") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
+
+/** Exposes GeoQueries.assigned for tests without widening its API. */
+object GeoQueriesHelper {
+  def assigned(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.queries.GeoQueries.assigned(s, d)
+}
