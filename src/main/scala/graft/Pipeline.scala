@@ -35,6 +35,31 @@ object Pipeline {
                 mode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame =
     TileAgg.perRegion(matches(spark, pages, mode), z)
 
+  /** Resumable flagship run (SURVEY.md §3.1 E3): geocode -> prune prefixes
+    * already recorded complete in the lineage table -> spatial join ->
+    * partitioned write + lineage append. A killed run re-invoked with the
+    * same runId recomputes ONLY the uncompleted cell prefixes. Returns the
+    * number of input points actually processed this invocation. */
+  def runResumable(spark: SparkSession, pages: DataFrame, outPath: String,
+                   lineagePath: String, runId: String,
+                   mode: SpatialJoin.Mode = SpatialJoin.Broadcast): Long = {
+    import graft.plans.Lineage
+    val pts = Lineage.withPrefix(geocode(pages))
+    val completed =
+      if (new java.io.File(lineagePath).exists())
+        Lineage.completedPrefixes(spark, lineagePath, runId)
+      else spark.emptyDataFrame.withColumn("cell_prefix", lit(0L)).limit(0)
+    val pruned = Lineage.pruneCompleted(pts, completed).localCheckpoint(true)
+    val nProcessed = pruned.count()
+    if (nProcessed > 0) {
+      val matched = operators.SpatialJoin
+        .assign(pruned, "url", operators.SpatialJoin.coverDF(spark), mode)
+      Lineage.writeWithLineage(matched, pruned.select("cell_prefix"),
+        outPath, lineagePath, runId, hashCols = Seq("url", "region_id"))
+    }
+    nProcessed
+  }
+
   /** Text-extraction check: recompute text from html and compare to the
     * stored text column (byte-identical invariant, BASELINE.json). Returns
     * offending rows (must be empty). */

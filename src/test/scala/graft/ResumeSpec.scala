@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Lineage
+import graft.sources.Pages
+
+/** Kill/resume end-to-end (SURVEY.md §5.2-5): a half-completed run resumed
+  * with the same runId must (a) process ONLY the uncompleted prefixes and
+  * (b) end with output identical to an uninterrupted run. */
+class ResumeSpec extends SparkTestBase {
+
+  private def freshDirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graftresume").toString
+    (s"$base/out", s"$base/lineage")
+  }
+
+  private def outSet(path: String): Set[(String, Long)] =
+    spark.read.parquet(path).select("url", "region_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("killed-at-half run resumes without recomputing completed prefixes") {
+    val pages = Pages.synthesize(spark, 3000, 16)
+
+    // reference: uninterrupted run
+    val (refOut, refLin) = freshDirs()
+    val nFull = Pipeline.runResumable(spark, pages, refOut, refLin, "ref")
+    assert(nFull == Pipeline.geocode(pages).count())
+    val expected = outSet(refOut)
+    assert(expected.nonEmpty)
+
+    // "killed" run: only pages whose prefix is in an arbitrary half get
+    // processed (simulates a job killed after half the partitions committed)
+    val (out, lin) = freshDirs()
+    val ptsAll = Lineage.withPrefix(Pipeline.geocode(pages))
+    // a killed job commits WHOLE partitions: cut the input along prefix
+    // boundaries (half the prefixes fully processed, the rest untouched)
+    val allPrefixes = ptsAll.select("cell_prefix").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val doneHalf = allPrefixes.take(allPrefixes.length / 2)
+    val halfUrls = ptsAll.where(col("cell_prefix").isInCollection(doneHalf))
+      .select("url")
+    val firstN = Pipeline.runResumable(spark,
+      pages.join(halfUrls, Seq("url"), "left_semi"), out, lin, "run1")
+    assert(firstN > 0)
+
+    // resume with the FULL input and same runId
+    val completedBefore = Lineage.completedPrefixes(spark, lin, "run1")
+      .collect().map(_.getLong(0)).toSet
+    val secondN = Pipeline.runResumable(spark, pages, out, lin, "run1")
+    // resumed run must process only rows outside completed prefixes
+    val expectedSecondN = ptsAll
+      .where(!col("cell_prefix").isInCollection(completedBefore)).count()
+    assert(secondN == expectedSecondN, s"$secondN vs $expectedSecondN")
+    assert(secondN < nFull) // something was actually skipped
+
+    // final output identical to the uninterrupted run
+    assert(outSet(out) == expected)
+
+    // third invocation: everything complete -> zero rows processed
+    val thirdN = Pipeline.runResumable(spark, pages, out, lin, "run1")
+    assert(thirdN == 0L)
+  }
+
+  test("lineage rows are per-prefix with exact counts and stable hashes") {
+    val pages = Pages.synthesize(spark, 1500, 8)
+    val (out, lin) = freshDirs()
+    Pipeline.runResumable(spark, pages, out, lin, "runA")
+    val lineage = spark.read.parquet(lin)
+    assert(lineage.columns.toSet ==
+      Set("cell_prefix", "row_count", "row_hash", "run_id", "completed_at"))
+    // counts must equal the written partition sizes
+    val written = spark.read.parquet(out)
+      .groupBy("cell_prefix").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lineage.where(col("row_count") > 0).collect().foreach { r =>
+      assert(written(r.getLong(0)) == r.getLong(1))
+    }
+    // re-running an identical job under a new runId yields identical hashes
+    val (out2, lin2) = freshDirs()
+    Pipeline.runResumable(spark, pages, out2, lin2, "runB")
+    def hashes(p: String) = spark.read.parquet(p)
+      .select("cell_prefix", "row_count", "row_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashes(lin) == hashes(lin2))
+  }
+
+  test("resume pruning on a stored prefix column prunes partitions at scan") {
+    // when the input table is partitioned by cell_prefix (the production
+    // layout, north rule), the resume predicate prunes whole partitions
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val pts = Lineage.withPrefix(Pipeline.geocode(Pages.synthesize(spark, 2000, 8)))
+    pts.write.mode("overwrite").partitionBy("cell_prefix").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val some = stored.select("cell_prefix").distinct().limit(5)
+      .collect().map(_.getLong(0))
+    val plan = stored.where(!col("cell_prefix").isInCollection(some))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_prefix"),
+      plan.take(1500))
+  }
+}
