@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench contract: one JSON line with per-query wall seconds at
+  * local[$SPARK_GRAFT_CPUS] on $SPARK_GRAFT_SF_DIR, plus the flagship
+  * spatial-join+tiling throughput (pages/sec — the BASELINE.json metric)
+  * over a parquet pages corpus synthesized once per invocation. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +12,39 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+
+    // flagship throughput: pages/sec through geocode -> spatial join ->
+    // tile aggregation over a parquet corpus (>= 128 splits, SURVEY.md §6.1)
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
+    val corpus = s"target/bench_pages_$nPages"
+    if (!new java.io.File(s"$corpus/_SUCCESS").exists())
+      sources.Pages.writeCorpus(spark, nPages, corpus, numPartitions = 128)
+    val pages = spark.read.parquet(corpus)
+    def flagshipOnce(): Double = {
+      val t0 = System.nanoTime()
+      Pipeline.tileStats(spark, pages, z = 8).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    flagshipOnce() // warm-up (JIT + codegen + broadcast)
+    val secs = Seq.fill(3)(flagshipOnce()).sorted
+    val median = secs(1)
+    val pps = nPages / median
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_pages":$nPages,"flagship_sec":$median,"flagship_pages_per_sec":$pps}""")
     spark.stop()
   }
 }

@@ -34,27 +34,41 @@ object SpatialJoin {
   final val RMin = 7
   final val RMax = 12
 
-  /** The polygon side: compact covers, exploded to one row per cover cell,
-    * carrying rings + bbox for the refine step. Computed driver-side (the
-    * polygon set is the small dimension; at production scale this becomes a
-    * one-off distributed enrichment job over the polygon table). */
+  /** The polygon side, split in two for broadcast economy:
+    * `cells`  — one narrow row per compact-cover cell (cell, region_id,
+    *            part): this is what the big candidate join broadcasts
+    *            (24 bytes/row, NOT rings duplicated 27k times);
+    * `parts`  — one row per polygon part carrying rings + bbox, joined to
+    *            candidates only (a second, trivially small broadcast).
+    * Computed driver-side (the polygon set is the small dimension; at
+    * production scale this is a one-off distributed enrichment job over
+    * the polygon table). Memoized per polygon set + resolution. */
+  final case class CoverSides(cells: DataFrame, parts: DataFrame)
+
+  private val coverCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Seq[(Long, Long, Int)]]()
+
   def coverDF(spark: SparkSession, parts: Seq[Polygons.PolyPart] = Polygons.all,
-              rMin: Int = RMin, rMax: Int = RMax): DataFrame = {
-    val rows = parts.flatMap { p =>
-      val cover = Geo.cover(p.rings, rMin, rMax)
-      cover.map(cell => (cell, p.regionId, p.part,
-        p.rings.map(_.toSeq).toSeq, p.latMin, p.latMax, p.lonMin, p.lonMax))
-    }
+              rMin: Int = RMin, rMax: Int = RMax): CoverSides = {
     import spark.implicits._
-    rows.toDF("cell", "region_id", "part", "rings",
-      "lat_min", "lat_max", "lon_min", "lon_max")
+    val key = (System.identityHashCode(parts), rMin, rMax)
+    val cellRows = coverCache.computeIfAbsent(key, _ =>
+      parts.flatMap { p =>
+        Geo.cover(p.rings, rMin, rMax).map(cell => (cell, p.regionId, p.part))
+      })
+    val partRows = parts.map(p => (p.regionId, p.part,
+      p.rings.map(_.toSeq).toSeq, p.latMin, p.latMax, p.lonMin, p.lonMax))
+    CoverSides(
+      cellRows.toDF("cell", "region_id", "part"),
+      partRows.toDF("region_id", "part", "rings",
+        "lat_min", "lat_max", "lon_min", "lon_max"))
   }
 
   /** Assign containing regions to points. Input must carry `lat`,`lon` and
     * a unique key column `keyCol`; output = input columns + region_id
     * (inner; points in no region drop out), exactly one row per
     * (point, region). */
-  def assign(points: DataFrame, keyCol: String, cover: DataFrame,
+  def assign(points: DataFrame, keyCol: String, cover: CoverSides,
              mode: Mode = Broadcast,
              rMin: Int = RMin, rMax: Int = RMax): DataFrame = {
     import points.sparkSession.implicits._
@@ -66,21 +80,23 @@ object SpatialJoin {
 
     val candidates = mode match {
       case Broadcast =>
-        probes.join(broadcast(cover), "cell")
+        probes.join(broadcast(cover.cells), "cell")
       case Shuffle =>
         // explicit hash partitioning on the cell key; merge hint pins
         // sort-merge so AQE skew-split can kick in on hot cells
-        probes.join(cover.hint("merge"), "cell")
+        probes.join(cover.cells.hint("merge"), "cell")
       case ShuffleSalted(s) =>
         val salted = probes.withColumn("salt",
           pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
-        val coverRep = cover.withColumn("salt",
+        val coverRep = cover.cells.withColumn("salt",
           explode(sequence(lit(0), lit(s - 1))))
         salted.join(coverRep.hint("merge"), Seq("cell", "salt"))
           .drop("salt")
     }
 
+    // refine only candidates: tiny (region,part)->rings dim broadcast
     val refined = candidates
+      .join(broadcast(cover.parts), Seq("region_id", "part"))
       .where($"lat" >= $"lat_min" && $"lat" <= $"lat_max" &&
              $"lon" >= $"lon_min" && $"lon" <= $"lon_max")
       .where(GeoFunctions.pip($"lat", $"lon", $"rings"))

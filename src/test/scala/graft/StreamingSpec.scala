@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Pages
+import graft.streaming.StreamingTiles
+
+/** Streaming ingest parity: driving the batch corpus through the streaming
+  * path must reproduce the batch spatial-join rows exactly. */
+class StreamingSpec extends SparkTestBase {
+
+  test("foreachBatch streaming matches == batch matches") {
+    val base = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val pages = Pages.synthesize(spark, 1200, 6)
+    pages.write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(pages.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src)
+    val q = StreamingTiles.matchesSink(spark, stream, out)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out).select("url", "region_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = Pipeline.matches(spark, pages).select("url", "region_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("windowed tile stats run on a stream (memory sink)") {
+    val base = java.nio.file.Files.createTempDirectory("graftstream2").toString
+    val pages = Pages.synthesize(spark, 800, 4)
+    pages.write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(pages.schema).parquet(s"$base/src")
+    val agg = StreamingTiles.windowedTileStats(spark, stream, z = 7)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tiles")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.sql("SELECT count(*) FROM tiles").collect()(0).getLong(0)
+    assert(n > 0)
+    // streaming tile counts match the batch tile aggregation totals
+    val streamTotal = spark.sql("SELECT sum(n) FROM tiles").collect()(0).getLong(0)
+    val batchTotal = Pipeline.tileStats(spark, pages, z = 7)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(streamTotal == batchTotal)
+  }
+}
