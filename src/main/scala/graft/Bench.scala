@@ -15,6 +15,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,16 +29,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
-    // flagship throughput: pages/sec through geocode -> spatial join ->
-    // tile aggregation over a parquet corpus (>= 128 splits, SURVEY.md §6.1)
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
+    // flagship throughput: pages/sec through extract + geocode -> spatial
+    // join -> tile aggregation over a parquet corpus (>= 128 splits,
+    // SURVEY.md §6.1)
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
     val corpus = s"target/bench_pages_$nPages"
     if (!new java.io.File(s"$corpus/_SUCCESS").exists())
       sources.Pages.writeCorpus(spark, nPages, corpus, numPartitions = 128)
     val pages = spark.read.parquet(corpus)
     def flagshipOnce(): Double = {
       val t0 = System.nanoTime()
-      Pipeline.tileStats(spark, pages, z = 8).count()
+      Pipeline.coverageStats(spark, pages, z = 8).count()
       (System.nanoTime() - t0) / 1e9
     }
     flagshipOnce() // warm-up (JIT + codegen + broadcast)

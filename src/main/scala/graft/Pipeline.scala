@@ -35,6 +35,37 @@ object Pipeline {
                 mode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame =
     TileAgg.perRegion(matches(spark, pages, mode), z)
 
+  /** The full coverage-map job (the reference's published page per area
+    * [PK]: progress counts + page stats): per tile at zoom z — geocoded
+    * pages, pages matched to any region, and token totals of the EXTRACTED
+    * text (extraction is the mandated per-row invariant, so the e2e
+    * throughput metric includes it). One action, one output. */
+  def coverageStats(spark: SparkSession, pages: DataFrame, z: Int = 8,
+                    joinMode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pts = pages.select(col("url"),
+        TextFunctions.geoLat(col("html")).as("lat"),
+        TextFunctions.geoLon(col("html")).as("lon"),
+        TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))
+          .as("tokens"))
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+    val tiled = pts.withColumn("tile",
+      GeoFunctions.cellEncode(col("lat"), col("lon"), lit(z)))
+    val totals = tiled.groupBy(col("tile"))
+      .agg(count("*").as("pages"), sum(col("tokens")).as("tok_sum"))
+    val matchedPerTile = SpatialJoin
+      .assign(tiled.select("url", "lat", "lon", "tile"), "url",
+        SpatialJoin.coverDF(spark), joinMode)
+      .select("url", "tile").distinct()
+      .groupBy(col("tile")).agg(count("*").as("matched"))
+    totals.join(matchedPerTile, Seq("tile"), "left")
+      .select(
+        GeoFunctions.cellTileX(col("tile")).as("tile_x"),
+        GeoFunctions.cellTileY(col("tile")).as("tile_y"),
+        col("pages"), col("tok_sum"),
+        coalesce(col("matched"), lit(0L)).as("matched"))
+  }
+
   /** Resumable flagship run (SURVEY.md §3.1 E3): geocode -> prune prefixes
     * already recorded complete in the lineage table -> spatial join ->
     * partitioned write + lineage append. A killed run re-invoked with the

@@ -11,55 +11,100 @@ import java.nio.charset.StandardCharsets
  *  1. UTF-8 decode with the standard REPLACE policy (malformed sequences
  *     become U+FFFD — fixed, documented).
  *  2. Drop <script>...</script> and <style>...</style> including content
- *     (case-insensitive tag names).
+ *     (case-insensitive tag names; at each '<' the first matching opener
+ *     wins; an unterminated block drops to end of input).
  *  3. Strip all other tags `<...>` (non-greedy to the next '>').
  *  4. Decode exactly the 5 core entities &amp; &lt; &gt; &quot; &#NN;
- *     (decimal and &#xNN; hex numeric references).
+ *     (decimal and &#xNN; hex numeric references) on the tag-stripped
+ *     text (so an entity split by a removed tag still decodes).
  *  5. Collapse all whitespace runs to a single space; trim.
+ *
+ * Implementation is two fused passes (strip incl. script/style drop, then
+ * entities + collapse) with no full-string case-conversion copies — this
+ * function runs on every row of a 10^12-row corpus, so allocation churn is
+ * the scaling bottleneck, not CPU.
  */
 object TextExtract {
 
   def extract(html: Array[Byte]): String = extractFromString(
     new String(html, StandardCharsets.UTF_8)) // CharsetDecoder REPLACE policy
 
-  def extractFromString(s: String): String = {
-    val noScript = dropElement(dropElement(s, "script"), "style")
-    val sb = new java.lang.StringBuilder(noScript.length)
-    var i = 0
-    var inTag = false
-    while (i < noScript.length) {
-      val c = noScript.charAt(i)
-      if (inTag) { if (c == '>') inTag = false }
-      else if (c == '<') inTag = true
-      else sb.append(c)
-      i += 1
+  def extractFromString(s: String): String =
+    decodeAndCollapse(stripTags(s))
+
+  @inline private def startsWithCI(s: String, i: Int, word: String): Boolean = {
+    if (i + word.length > s.length) return false
+    var k = 0
+    while (k < word.length) {
+      val c = s.charAt(i + k)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (lc != word.charAt(k)) return false
+      k += 1
     }
-    collapseWs(decodeEntities(sb.toString))
+    true
   }
 
-  /** Remove <name ...>...</name> blocks, case-insensitive, non-nested. */
-  private def dropElement(s: String, name: String): String = {
-    val lower = s.toLowerCase
-    val open = "<" + name
-    val close = "</" + name + ">"
+  /** Case-insensitive index of `word` in `s` from `from`; -1 if absent. */
+  @inline private def indexOfCI(s: String, from: Int, word: String): Int = {
+    var i = from
+    val limit = s.length - word.length
+    while (i <= limit) {
+      if (startsWithCI(s, i, word)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Pass 1: drop script/style elements (content included) and all tags. */
+  private def stripTags(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (lower.startsWith(open, i) &&
-          (i + open.length == s.length ||
-           !Character.isLetterOrDigit(lower.charAt(i + open.length)))) {
-        val end = lower.indexOf(close, i)
-        i = if (end < 0) s.length else end + close.length
+      val c = s.charAt(i)
+      if (c == '<') {
+        var dropped = false
+        var w = 0
+        while (!dropped && w < 2) {
+          val name = if (w == 0) "script" else "style"
+          if (startsWithCI(s, i + 1, name) &&
+              (i + 1 + name.length == s.length ||
+               !Character.isLetterOrDigit(s.charAt(i + 1 + name.length)))) {
+            val close = "</" + name + ">"
+            val end = indexOfCI(s, i, close)
+            i = if (end < 0) s.length else end + close.length
+            dropped = true
+          }
+          w += 1
+        }
+        if (!dropped) {
+          val gt = s.indexOf('>', i + 1)
+          i = if (gt < 0) s.length else gt + 1
+        }
       } else {
-        sb.append(s.charAt(i))
+        sb.append(c)
         i += 1
       }
     }
     sb.toString
   }
 
-  private def decodeEntities(s: String): String = {
+  /** Pass 2: entity decode + whitespace collapse + trim, fused. */
+  private def decodeAndCollapse(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var started = false
+    @inline def emit(str: String): Unit = {
+      var k = 0
+      while (k < str.length) { emitChar(str.charAt(k)); k += 1 }
+    }
+    @inline def emitChar(c: Char): Unit = {
+      if (Character.isWhitespace(c)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -80,29 +125,24 @@ object TextExtract {
               catch { case _: Exception => null }
             case _ => null
           }
-          if (rep != null) { sb.append(rep); i = semi + 1 }
-          else { sb.append(c); i += 1 }
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+          if (rep != null) { emit(rep); i = semi + 1 }
+          else { emitChar(c); i += 1 }
+        } else { emitChar(c); i += 1 }
+      } else { emitChar(c); i += 1 }
     }
     sb.toString
   }
 
-  private def collapseWs(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
+  /** Tokens separated by a single space, counting empty segments — exact
+    * `size(split(text, ' '))` semantics without materializing the array
+    * (the hot token-count path of the coverage job). */
+  def countWsTokens(s: String): Int = {
+    var n = 1
     var i = 0
-    var pendingSpace = false
-    var started = false
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) { if (started) pendingSpace = true }
-      else {
-        if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
-        started = true
-      }
+      if (s.charAt(i) == ' ') n += 1
       i += 1
     }
-    sb.toString
+    n
   }
 }

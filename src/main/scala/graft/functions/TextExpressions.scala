@@ -16,10 +16,41 @@ import graft.core.{Geocode, TagKey, TextExtract}
 object TextRuntime {
   def extract(html: Array[Byte]): UTF8String =
     UTF8String.fromString(TextExtract.extract(html))
+
+  // geo_lat and geo_lon are separate expressions over the same html cell;
+  // a per-thread one-entry memo (keyed by array identity) makes the pair
+  // cost one parse per row instead of two. Pure w.r.t. the input bytes,
+  // so determinism is unaffected.
+  private val lastGeo =
+    new ThreadLocal[(Array[Byte], Option[(Double, Double)])] {
+      override def initialValue(): (Array[Byte], Option[(Double, Double)]) =
+        (null, None)
+    }
+  private def geoMemo(html: Array[Byte]): Option[(Double, Double)] = {
+    val cached = lastGeo.get()
+    if (cached._1 eq html) cached._2
+    else {
+      val r = Geocode.fromHtml(html)
+      lastGeo.set((html, r))
+      r
+    }
+  }
   def geoLat(html: Array[Byte]): java.lang.Double =
-    Geocode.fromHtml(html) match { case Some((lat, _)) => lat; case None => null }
+    geoMemo(html) match { case Some((lat, _)) => lat; case None => null }
   def geoLon(html: Array[Byte]): java.lang.Double =
-    Geocode.fromHtml(html) match { case Some((_, lon)) => lon; case None => null }
+    geoMemo(html) match { case Some((_, lon)) => lon; case None => null }
+  def tokenCount(text: UTF8String): Int = {
+    // count ' ' bytes + 1 directly on UTF-8 bytes (space never appears in
+    // a multi-byte sequence) — zero allocation
+    val n = text.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) == ' '.toByte) spaces += 1
+      i += 1
+    }
+    spaces + 1
+  }
   def tagNormalize(lang: UTF8String, raw: UTF8String): UTF8String =
     UTF8String.fromString(TagKey.normalize(lang.toString, raw.toString))
   def tagClassify(raw: UTF8String): UTF8String =
@@ -79,6 +110,18 @@ case class GeoLon(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** token_count_ws(text) -> INT: size(split(text, ' ')) without the array. */
+case class TokenCountWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count_ws"
+  override protected def nullSafeEval(text: Any): Any =
+    TextRuntime.tokenCount(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text => s"graft.functions.TextRuntime.tokenCount($text)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** tag_normalize(lang, raw) -> STRING join key (SURVEY.md §1.7). */
 case class TagNormalize(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = StringType
@@ -127,6 +170,7 @@ case class TagParse(child: Expression) extends UnaryExpression {
 object TextFunctions {
   import ColumnBridge.{column, expression}
   def extractText(html: Column): Column = column(ExtractText(expression(html)))
+  def tokenCountWs(text: Column): Column = column(TokenCountWs(expression(text)))
   def geoLat(html: Column): Column = column(GeoLat(expression(html)))
   def geoLon(html: Column): Column = column(GeoLon(expression(html)))
   def tagNormalize(lang: Column, raw: Column): Column =

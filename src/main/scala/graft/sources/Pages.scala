@@ -22,6 +22,11 @@ object Pages {
 
   final val Epoch2024 = 1704067200L // 2024-01-01T00:00:00Z
 
+  private def repeatCol(s: org.apache.spark.sql.Column,
+                        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat_ws("",
+      org.apache.spark.sql.functions.array_repeat(s, n))
+
   /** In-memory synthesized pages. */
   def synthesize(spark: SparkSession, n: Long,
                  numPartitions: Int = 128): DataFrame = {
@@ -38,8 +43,15 @@ object Pages {
         lit("\">"))).otherwise(lit(""))
     val entities = when(col("id") % 17 === 0,
       lit("<p>caf&#233; &amp; bar &lt;tags&gt; &quot;q&quot;</p>")).otherwise(lit(""))
-    val body = concat(lit("<p>word"), col("id") % 997, lit(" page body "),
-      col("id") % 7919, lit("</p>"))
+    // 1-4 KB of body markup (FIXTURES.md §P sizing): a seeded sentence
+    // repeated 12..72 times, with id-derived tokens so texts differ
+    val sentence = concat(lit("<p>word"), col("id") % 997,
+      lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed "),
+      lit("do eiusmod tempor incididunt ut labore page "), col("id") % 7919,
+      lit("</p>"))
+    val body = concat(
+      expr("repeat('<div class=\"filler\">markup noise</div>', 4)"),
+      repeatCol(sentence, (col("id") % 61 + lit(12)).cast("int")))
     val htmlStr = concat(lit("<html><head>"), geoMeta,
       lit("<title>Page "), col("id"), lit("</title></head><body>"),
       body, entities, lit("<script>var x = 1;</script></body></html>"))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Polygons
+import graft.functions.LineageAgg
+import graft.sources.{OsmXml, PolygonJson}
+
+class SourcesSpec extends SparkTestBase {
+
+  val osmXml =
+    """<?xml version='1.0' encoding='UTF-8'?>
+      |<osm version="0.6" generator="test">
+      |  <node id="101" lat="45.4642" lon="9.1900">
+      |    <tag k="wikipedia" v="it:Duomo di Milano"/>
+      |    <tag k="amenity" v="place_of_worship"/>
+      |  </node>
+      |  <node id="102" lat="41.8902" lon="12.4922">
+      |    <tag k="wikipedia:en" v="Colosseum"/>
+      |  </node>
+      |  <node id="103" lat="0.0" lon="0.0"/>
+      |  <node id="104" lat="48.8583" lon="2.2945">
+      |    <tag k="wikipedia" v="http://fr.wikipedia.org/wiki/Tour_Eiffel"/>
+      |  </node>
+      |  <way id="2001">
+      |    <nd ref="101"/>
+      |    <tag k="wikipedia" v="de:Some_Way"/>
+      |  </way>
+      |  <relation id="3001">
+      |    <member type="way" ref="2001" role="outer"/>
+      |    <tag k="type" v="boundary"/>
+      |  </relation>
+      |</osm>""".stripMargin
+
+  test("OSM XML pull parser extracts objects, coords and tags") {
+    val objs = OsmXml.parseDocument(osmXml).toSeq
+    assert(objs.map(_.featureId) == Seq(101L, 102L, 103L, 104L, 2001L, 3001L))
+    val n101 = objs.find(_.featureId == 101).get
+    assert(n101.featureType == "node" && n101.lat.contains(45.4642) &&
+      n101.tags("wikipedia") == "it:Duomo di Milano" &&
+      n101.tags("amenity") == "place_of_worship")
+    assert(objs.find(_.featureId == 2001).get.featureType == "way")
+    assert(objs.find(_.featureId == 2001).get.lat.isEmpty)
+  }
+
+  test("OsmXml.features routes malformed tags and normalizes keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graftosm").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/extract.osm"), osmXml)
+    val feats = OsmXml.features(spark, s"$dir/extract.osm")
+    val byId = feats.collect().map(r =>
+      r.getAs[Long]("feature_id") ->
+        (r.getAs[String]("tag_key"), r.getAs[String]("error_class"))).toMap
+    assert(byId.keySet == Set(101L, 102L, 104L, 2001L)) // 103,3001: no wikipedia tag
+    assert(byId(101L) == (("it:Duomo di Milano", "ok")))
+    assert(byId(102L) == (("en:Colosseum", "ok")))  // wikipedia:en variant
+    assert(byId(104L)._1 == null && byId(104L)._2 == "url_value")
+    assert(byId(2001L) == (("de:Some Way", "ok")))
+  }
+
+  test("polygon JSON round-trips and produces the same covers") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpoly").toString
+    val path = s"$dir/polys.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      PolygonJson.toJsonLines(Polygons.all))
+    val parts = PolygonJson.read(spark, path)
+    assert(parts.map(p => (p.regionId, p.part, p.name)).sorted ==
+      Polygons.all.map(p => (p.regionId, p.part, p.name)).sorted)
+    val cover1 = PolygonJson.coverFromJson(spark, path)
+    val cover2 = graft.operators.SpatialJoin.coverDF(spark, Polygons.all)
+    assert(cover1.cellIds.sorted.sameElements(cover2.cellIds.sorted))
+  }
+
+  test("LineageAgg: partitioning-independent count+xor") {
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).as("g"), concat(lit("v"), col("id")).as("v"))
+    val u = udaf(LineageAgg.onColumns(Seq("id", "v")),
+      org.apache.spark.sql.Encoders.row(df.schema))
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g")
+        .agg(u(col("id"), col("g"), col("v")).as("cs"))
+        .collect().map { r =>
+          val s = r.getStruct(1)
+          (r.getLong(0), s.getLong(0), s.getLong(1))
+        }.toSet
+    assert(run(2) == run(16))
+    assert(run(2).forall(_._2 > 0))
+  }
+}
