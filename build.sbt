@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage codegen emits one class per stage; a session running
+  // many distinct queries fills the default 240 MB code cache, after which
+  // HotSpot disables compilation and everything runs interpreted (10-40x
+  // slower, observed on the bench flagship after the 42-query sweep)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 ) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -32,7 +32,7 @@ object Bench {
     // flagship throughput: pages/sec through extract + geocode -> spatial
     // join -> tile aggregation over a parquet corpus (>= 128 splits,
     // SURVEY.md §6.1)
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
     val corpus = s"target/bench_pages_$nPages"
     if (!new java.io.File(s"$corpus/_SUCCESS").exists())
       sources.Pages.writeCorpus(spark, nPages, corpus, numPartitions = 128)
