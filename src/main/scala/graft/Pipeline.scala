@@ -55,8 +55,8 @@ object Pipeline {
       .agg(count("*").as("pages"), sum(col("tokens")).as("tok_sum"))
     val matchedPerTile = SpatialJoin
       .assign(tiled.select("url", "lat", "lon", "tile"), "url",
-        SpatialJoin.coverDF(spark), joinMode)
-      .select("url", "tile").distinct()
+        SpatialJoin.coverDF(spark), joinMode, dedup = false)
+      .select("url", "tile").distinct() // absorbs multi-part/region dups
       .groupBy(col("tile")).agg(count("*").as("matched"))
     totals.join(matchedPerTile, Seq("tile"), "left")
       .select(

@@ -70,9 +70,15 @@ object SpatialJoin {
     * a unique key column `keyCol`; output = input columns + region_id
     * (inner; points in no region drop out), exactly one row per
     * (point, region). */
+  /** `dedup=false` skips the final per-(key, region) dropDuplicates —
+    * correct whenever the caller's next operator absorbs duplicates (e.g.
+    * a downstream distinct/groupBy), saving one full shuffle. Duplicates
+    * only arise for multi-part regions (a point in two parts of one
+    * region). */
   def assign(points: DataFrame, keyCol: String, cover: CoverSides,
              mode: Mode = Broadcast,
-             rMin: Int = RMin, rMax: Int = RMax): DataFrame = {
+             rMin: Int = RMin, rMax: Int = RMax,
+             dedup: Boolean = true): DataFrame = {
     import points.sparkSession.implicits._
     // coarse prefilter BEFORE the 6-way probe explode: a matching point's
     // rMin-ancestor must be the rMin-ancestor of some cover cell, and that
@@ -113,9 +119,8 @@ object SpatialJoin {
 
     // a region can match via several parts; compact cover cells are
     // disjoint so per part there is at most one candidate row
-    refined
-      .drop("cell", "cell_rmax", "part", "rings",
-        "lat_min", "lat_max", "lon_min", "lon_max")
-      .dropDuplicates(keyCol, "region_id")
+    val out = refined.drop("cell", "cell_rmax", "part", "rings",
+      "lat_min", "lat_max", "lon_min", "lon_max")
+    if (dedup) out.dropDuplicates(keyCol, "region_id") else out
   }
 }

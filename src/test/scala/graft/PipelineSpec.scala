@@ -103,6 +103,48 @@ class PipelineSpec extends SparkTestBase {
     assert(sPlan.contains("SortMergeJoin"), sPlan.take(1500))
   }
 
+
+  test("plan: whole-stage codegen spans cover the flagship (custom exprs codegen)") {
+    // AQE hides codegen ids pre-execution; check with a non-adaptive copy
+    val pages = Pages.synthesize(spark, 200, 2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Pipeline.coverageStats(spark, pages, 8)
+        .queryExecution.executedPlan.toString
+      val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toList.distinct.length
+      assert(spans >= 4, s"expected >=4 codegen spans, got $spans")
+      // custom expressions run INSIDE codegen stages (star-prefixed nodes)
+      assert(plan.contains("pip_contains"), "pip in plan")
+      assert(!plan.contains("CodegenFallback"), "no fallback")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("coverageStats equals a naive recomputation") {
+    val pages = Pages.synthesize(spark, 1500, 4)
+    val got = Pipeline.coverageStats(spark, pages, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // naive: geocode + tokens per row, PIP per polygon, group in memory
+    val raw = pages.select("url", "html").collect()
+    case class P(url: String, lat: Double, lon: Double, tokens: Long)
+    val pts = raw.flatMap { r =>
+      val html = new String(r.getAs[Array[Byte]](1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      graft.core.Geocode.fromString(html).map { case (lat, lon) =>
+        P(r.getString(0), lat, lon,
+          graft.core.TextExtract.countWsTokens(
+            graft.core.TextExtract.extractFromString(html)).toLong)
+      }
+    }
+    val expected = pts.groupBy(p => graft.core.Cells.encode(p.lat, p.lon, 7))
+      .map { case (tile, ps) =>
+        val (x, y) = graft.core.Cells.toXY(tile)
+        val matched = ps.count(p => Polygons.regionsContaining(p.lat, p.lon).nonEmpty)
+        (x, y, ps.size.toLong, ps.map(_.tokens).sum, matched.toLong)
+      }.toSet
+    assert(got == expected)
+  }
+
   test("flagship entry returns rows at smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
