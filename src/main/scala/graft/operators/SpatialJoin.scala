@@ -30,6 +30,11 @@ object SpatialJoin {
   /** Shuffle with salted keys: points add pmod(xxhash64(key), s), the cover
     * side is replicated s times (SURVEY.md §2.C6 skewed mega-cells). */
   final case class ShuffleSalted(s: Int) extends Mode
+  /** Salt ONLY detected hot cells (probe count > hotThreshold, measured by
+    * a first-pass aggregation): cold cells take the plain sort-merge path,
+    * hot cells the salted path, results unioned before refine. This is the
+    * targeted form of C6 — replication cost is paid only where skew is. */
+  final case class ShuffleSaltedAdaptive(s: Int, hotThreshold: Long) extends Mode
 
   final val RMin = 7
   final val RMax = 12
@@ -108,6 +113,23 @@ object SpatialJoin {
           explode(sequence(lit(0), lit(s - 1))))
         salted.join(coverRep.hint("merge"), Seq("cell", "salt"))
           .drop("salt")
+      case ShuffleSaltedAdaptive(s, hotThreshold) =>
+        val hot = probes.groupBy($"cell").count()
+          .where($"count" > hotThreshold)
+          .select($"cell").collect().map(r => Long.box(r.getLong(0)))
+        if (hot.isEmpty) probes.join(cover.cells.hint("merge"), "cell")
+        else {
+          val isHot = $"cell".isInCollection(hot)
+          val cold = probes.where(!isHot)
+            .join(cover.cells.where(!isHot).hint("merge"), "cell")
+          val hotProbes = probes.where(isHot).withColumn("salt",
+            pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
+          val hotCover = cover.cells.where(isHot).withColumn("salt",
+            explode(sequence(lit(0), lit(s - 1))))
+          val hotJoined = hotProbes
+            .join(hotCover.hint("merge"), Seq("cell", "salt")).drop("salt")
+          cold.unionByName(hotJoined)
+        }
     }
 
     // refine only candidates: tiny (region,part)->rings dim broadcast

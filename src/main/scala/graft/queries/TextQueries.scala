@@ -127,6 +127,24 @@ object TextQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3)
     },
 
+    QueryDef.sql("q_dup_embedding",
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2]))
+         |    AS BIGINT) AS score
+         |FROM q a JOIN q b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2]))
+         |    AS BIGINT) > 250000""".stripMargin) { (s, d) =>
+      // embedding-cosine near-dup: exact all-pairs at oracle scale (the
+      // 100 TB path swaps the self-join for Similarity.lshTopK buckets)
+      val q = t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.quantized(col("embedding")).as("qv"))
+      q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Similarity.qdot(col("a.qv"), col("b.qv")).as("score"))
+        .where(col("score") > 250000)
+    },
+
     QueryDef.sql("q_sim_topk",
       s"""WITH q AS (SELECT vec_id AS qid, $qvSql AS qv FROM embeddings
          |           WHERE vec_id % 97 = 0),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("asset synthesis is deterministic and schema-correct") {
+    val a1 = Multimodal.synthesize(spark, 300, 8)
+    val a2 = Multimodal.synthesize(spark, 300, 3) // different partitioning
+    assert(a1.schema.fieldNames.toSet ==
+      Set("assetId", "mime", "width", "height", "durationMs", "payload"))
+    val s1 = a1.collect().map(a => (a.assetId, a.payload.toSeq)).toSet
+    val s2 = a2.collect().map(a => (a.assetId, a.payload.toSeq)).toSet
+    assert(s1 == s2)
+  }
+
+  test("decode stub sniffs every synthesized mime correctly") {
+    val decoded = Multimodal.decode(Multimodal.synthesize(spark, 300, 8))
+    val byCodec = decoded.groupBy("codec").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCodec.keySet == Set("jpeg", "riff", "mkv"))
+    assert(byCodec.values.sum == 300)
+    assert(decoded.where(col("ok") === false).isEmpty)
+  }
+
+  test("features are normalized 64-d vectors usable by the ANN operators") {
+    val feats = Multimodal.features(Multimodal.synthesize(spark, 200, 8))
+    val rows = feats.collect()
+    assert(rows.forall(_.feature.length == 64))
+    rows.foreach { f =>
+      val s = f.feature.map(_.toDouble).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"histogram not normalized: $s")
+    }
+    // end-to-end: asset features flow into the similarity operator
+    val df = feats.toDF().select(col("assetId").as("vec_id"),
+      col("feature").as("embedding"))
+    val topk = Similarity.bruteForceTopK(
+      df.where(col("vec_id") % 50 === 0), df, "vec_id", "embedding", k = 3)
+    assert(topk.groupBy("qid").count().collect().forall(_.getLong(1) == 3))
+  }
+
+  test("frame sampling emits deterministic frames for video assets only") {
+    val assets = Multimodal.synthesize(spark, 120, 4)
+    val frames = Multimodal.sampleFrames(assets, everyMs = 700)
+    val byAsset = frames.collect().groupBy(_.assetId)
+    // only videos (id % 3 == 2) have frames
+    assert(byAsset.keySet.forall(_ % 3 == 2))
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { case (_, fs) =>
+      assert(fs.map(_.frameIdx).sorted.sameElements(0 until fs.length))
+      assert(fs.forall(_.payload.length <= 16))
+    }
+    // determinism across partitionings
+    val frames2 = Multimodal.sampleFrames(Multimodal.synthesize(spark, 120, 7), 700)
+    assert(frames.collect().map(f => (f.assetId, f.frameIdx, f.payload.toSeq)).toSet ==
+      frames2.collect().map(f => (f.assetId, f.frameIdx, f.payload.toSeq)).toSet)
+  }
+}

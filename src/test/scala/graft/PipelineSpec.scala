@@ -53,6 +53,10 @@ class PipelineSpec extends SparkTestBase {
     assert(run(SpatialJoin.Shuffle) == b)
     assert(run(SpatialJoin.ShuffleSalted(4)) == b)
     assert(run(SpatialJoin.ShuffleSalted(16)) == b)
+    // low threshold forces BOTH the cold and the salted-hot path
+    assert(run(SpatialJoin.ShuffleSaltedAdaptive(8, hotThreshold = 50)) == b)
+    // threshold above every count: pure cold path
+    assert(run(SpatialJoin.ShuffleSaltedAdaptive(8, hotThreshold = 1000000)) == b)
   }
 
   test("spatial join output is unique per (key, region)") {
