@@ -74,21 +74,24 @@ object Pipeline {
   def runResumable(spark: SparkSession, pages: DataFrame, outPath: String,
                    lineagePath: String, runId: String,
                    mode: SpatialJoin.Mode = SpatialJoin.Broadcast): Long = {
-    import graft.plans.Lineage
-    val pts = Lineage.withPrefix(geocode(pages))
-    val completed =
-      if (new java.io.File(lineagePath).exists())
-        Lineage.completedPrefixes(spark, lineagePath, runId)
-      else spark.emptyDataFrame.withColumn("cell_prefix", lit(0L)).limit(0)
-    val pruned = Lineage.pruneCompleted(pts, completed).localCheckpoint(true)
-    val nProcessed = pruned.count()
-    if (nProcessed > 0) {
-      val matched = operators.SpatialJoin
-        .assign(pruned, "url", operators.SpatialJoin.coverDF(spark), mode)
-      Lineage.writeWithLineage(matched, pruned.select("cell_prefix"),
-        outPath, lineagePath, runId, hashCols = Seq("url", "region_id"))
+    import graft.plans.{Lineage, Metrics}
+    Metrics.withMetrics(spark, runId,
+        s"$lineagePath-metrics/$runId-${System.nanoTime()}.json") {
+      val pts = Lineage.withPrefix(geocode(pages))
+      val completed =
+        if (new java.io.File(lineagePath).exists())
+          Lineage.completedPrefixes(spark, lineagePath, runId)
+        else spark.emptyDataFrame.withColumn("cell_prefix", lit(0L)).limit(0)
+      val pruned = Lineage.pruneCompleted(pts, completed).localCheckpoint(true)
+      val nProcessed = pruned.count()
+      if (nProcessed > 0) {
+        val matched = operators.SpatialJoin
+          .assign(pruned, "url", operators.SpatialJoin.coverDF(spark), mode)
+        Lineage.writeWithLineage(matched, pruned.select("cell_prefix"),
+          outPath, lineagePath, runId, hashCols = Seq("url", "region_id"))
+      }
+      nProcessed
     }
-    nProcessed
   }
 
   /** Text-extraction check: recompute text from html and compare to the

@@ -85,6 +85,18 @@ class ResumeSpec extends SparkTestBase {
     assert(hashes(lin) == hashes(lin2))
   }
 
+  test("runResumable dumps per-stage metrics JSON next to the lineage") {
+    val pages = Pages.synthesize(spark, 800, 4)
+    val (out, lin) = freshDirs()
+    Pipeline.runResumable(spark, pages, out, lin, "runM")
+    val dir = new java.io.File(s"$lin-metrics")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    assert(files.nonEmpty, "metrics json missing")
+    val json = java.nio.file.Files.readString(files.head.toPath)
+    assert(json.contains("\"run_id\":\"runM\"") && json.contains("\"stages\":["))
+    assert(json.contains("\"in_rec\":"), json.take(200))
+  }
+
   test("resume pruning on a stored prefix column prunes partitions at scan") {
     // when the input table is partitioned by cell_prefix (the production
     // layout, north rule), the resume predicate prunes whole partitions
