@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.SpatialJoin
+
+/**
+ * spark-submit entry point (BASELINE.json north_star: "launches via
+ * spark-submit"): runs the resumable flagship pipeline over a pages table.
+ *
+ *   spark-submit --class graft.Main engine.jar \
+ *     --pages <path> [--format parquet|iceberg] --out <dir> \
+ *     --lineage <dir> --run-id <id> [--mode broadcast|shuffle|salted[:S]]
+ *     [--zoom 8] [--tiles <dir>]
+ *
+ * Re-invoking with the same --run-id resumes: completed cell prefixes are
+ * pruned before the join (plans/Lineage). On a cluster the session comes
+ * from spark-submit; local fallback is for the sandbox.
+ */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val spark = SparkSession.builder()
+      .appName("graft-flagship")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = spark.read.format(opts.getOrElse("format", "parquet"))
+      .load(opts("pages"))
+    val mode: SpatialJoin.Mode = opts.getOrElse("mode", "broadcast") match {
+      case "broadcast" => SpatialJoin.Broadcast
+      case "shuffle" => SpatialJoin.Shuffle
+      case s if s.startsWith("salted") =>
+        val n = s.split(":").lift(1).map(_.toInt).getOrElse(8)
+        SpatialJoin.ShuffleSalted(n)
+      case other => sys.error(s"unknown --mode $other")
+    }
+
+    val runId = opts.getOrElse("run-id", "run")
+    val n = Pipeline.runResumable(spark, pages, opts("out"),
+      opts.getOrElse("lineage", opts("out") + "_lineage"), runId, mode)
+    // eslint-style one-line summary for operators' logs
+    println(s"""{"run_id":"$runId","points_processed":$n}""")
+
+    opts.get("tiles").foreach { tilesOut =>
+      val z = opts.getOrElse("zoom", "8").toInt
+      Pipeline.coverageStats(spark, pages, z, mode)
+        .write.mode("overwrite").parquet(tilesOut)
+    }
+    spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      require(args(i).startsWith("--") && i + 1 < args.length,
+        s"expected --key value pairs, got: ${args.mkString(" ")}")
+      m(args(i).drop(2)) = args(i + 1)
+      i += 2
+    }
+    require(m.contains("pages") && m.contains("out"),
+      "--pages and --out are required")
+    m.toMap
+  }
+}
