@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.RollingHash
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("rolling hash: windows are consistent with direct recomputation") {
+    val s = "the quick brown fox jumps over the lazy dog repeatedly"
+    val w = 8
+    val hs = RollingHash.hashWindows(s, w)
+    assert(hs.length == s.length - w + 1)
+    // rolling result equals hashing each window from scratch
+    (0 until hs.length).foreach { i =>
+      val direct = RollingHash.hashWindows(s.substring(i, i + w), w)(0)
+      assert(hs(i) == direct, s"window $i")
+    }
+    // identical windows at different offsets hash equal
+    val rep = "abcdefgh--12345--abcdefgh"
+    val hs2 = RollingHash.hashWindows(rep, 8)
+    assert(hs2(0) == hs2(17))
+    assert(hs2.toSet.size == hs2.length - 1)
+  }
+
+  test("rolling sketch is shift-robust: prefixed copy shares sketch hashes") {
+    val base = "some long enough document body with many stable substrings inside it"
+    val shifted = "PREFIX >>> " + base
+    val a = RollingHash.minSketch(base, 16, 8).toSet
+    val b = RollingHash.minSketch(shifted, 16, 8).toSet
+    assert(a.intersect(b).size >= 6, s"only ${a.intersect(b).size} shared")
+    // while an unrelated document shares none
+    val c = RollingHash.minSketch("completely different content goes here, nothing alike at all", 16, 8).toSet
+    assert(a.intersect(c).isEmpty)
+  }
+
+  test("rollingNearDupPairs flags shifted duplicates in a corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (2L, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (3L, "unrelated text that shares nothing with the others whatsoever!!"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda YY"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.rollingNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) &&
+      pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("language-ID discriminates genuine multilingual text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog is in the house"),
+      (2L, "der hund und die katze sind nicht in das haus gegangen und das ist gut"),
+      (3L, "le chat et la souris sont dans les jardins et la maison est belle"),
+      (4L, "el perro y la casa que es una maravilla y los gatos es bueno"),
+      (5L, "il gatto che non dorme di notte per la strada e non torna"))
+      .toDF("doc_id", "text")
+    val pred = TextAnalysis.languageId(docs, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "it"))
+  }
+}
