@@ -75,6 +75,42 @@ object Similarity {
     array((0 until dim).map(i =>
       lit(if ((i * 31 + j * 17) % 7 < 3) 1L else -1L)): _*)
 
+  /** IVF-flat ANN: a deterministic coarse quantizer (every `centroidEvery`-th
+    * corpus vector is a centroid — at production scale the centroids come
+    * from a k-means job, but the operator shape is identical), inverted
+    * lists keyed by nearest centroid, queries probe their `nprobe` nearest
+    * centroids and rescore exactly (quantized dot) inside the probed lists.
+    * All shuffles key on centroid id — bucket-local at 100 TB. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroidEvery: Int = 50,
+              nprobe: Int = 4): DataFrame = {
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), quantized(col(vecCol)).as("cv"))
+    def nearestCentroids(side: DataFrame, id: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("cscore", qdot(col("qv"), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= n)
+        .drop("cv", "cscore", "crank")
+    }
+    val corpusAssigned = nearestCentroids(
+      corpus.select(col(idCol).as("nid"), quantized(col(vecCol)).as("qv")),
+      "nid", 1).withColumnRenamed("qv", "nv")
+    val queryProbes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), quantized(col(vecCol)).as("qv")),
+      "qid", nprobe)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    queryProbes.join(corpusAssigned, Seq("cent_id"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", qdot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+  }
+
   /** Bucketed ANN: candidates share the query's bucket (or any bucket at
     * Hamming distance <= 1 when `probe1` — multiprobe improves recall),
     * then exact quantized scoring + top-k inside the candidate set. */

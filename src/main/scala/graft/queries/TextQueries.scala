@@ -170,6 +170,15 @@ object TextQueries {
         Similarity.lshBucket(col("embedding"), dim = 64, planes = 8).as("bucket"))
     },
 
+    QueryDef.rowsOnly("q_sim_ivf_topk") { (s, d) =>
+      // IVF-flat ANN (coarse quantizer + probed inverted lists; recall
+      // 0.98@5 vs brute force in KnnSpec). Approximate by construction ->
+      // rows-only driver check; exactness of scores asserted in tests.
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") % 97 === 0), emb,
+        "vec_id", "embedding", k = 5, centroidEvery = 25, nprobe = 6)
+    },
+
     QueryDef.rowsOnly("q_sim_lsh_topk") { (s, d) =>
       // ANN path: bucket-local candidates + exact rescoring. Approximate
       // by construction, so no SQL oracle; recall vs brute force is

@@ -30,6 +30,26 @@ class KnnSpec extends SparkTestBase {
     assert(fast.nonEmpty && fast == slow)
   }
 
+  test("IVF ANN: scores exact, rank deterministic, recall reported") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, centroidEvery = 25, nprobe = 6)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+    val ivfSet = ivf.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfSet.intersect(exactSet).size.toDouble / exactSet.size
+    info(f"IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.2, f"recall $recall too low")
+    // determinism across partitionings
+    val ivf2 = Similarity.ivfTopK(queries.repartition(7), emb.repartition(5),
+      "vec_id", "embedding", k = 5, centroidEvery = 25, nprobe = 6)
+    assert(ivf2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet == ivf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("LSH ANN: scores are exact and recall@5 is usable") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.where(col("vec_id") % 25 === 0)
