@@ -51,9 +51,10 @@ object TagKey {
     }
   }
 
-  /** Full join key. */
+  /** Full join key. Locale.ROOT keeps the key deterministic across JVM
+    * default locales (Turkish 'I' would otherwise lowercase to U+0131). */
   def normalize(lang: String, raw: String): String =
-    lang.trim.toLowerCase + ":" + normalizeTitle(raw)
+    lang.trim.toLowerCase(java.util.Locale.ROOT) + ":" + normalizeTitle(raw)
 
   // --- malformed-tag classification (SURVEY.md §1.2-2) ---
 
@@ -74,7 +75,7 @@ object TagKey {
       val idx = v.indexOf(':')
       if (idx <= 0 || idx == v.length - 1) ErrMissingLang
       else {
-        val lang = v.substring(0, idx).toLowerCase
+        val lang = v.substring(0, idx).toLowerCase(java.util.Locale.ROOT)
         if (langRe.findFirstIn(lang).isDefined) OK else ErrBadLang
       }
     }

@@ -117,12 +117,23 @@ object TextExtract {
             case "lt" => "<"
             case "gt" => ">"
             case "quot" => "\""
+            // strictly-digits entity bodies only (no '+'/'-' sign, no
+            // underscores, no whitespace) — same rule as the mini-oracle,
+            // so the two implementations can never disagree on exotic input
             case _ if body.startsWith("#x") || body.startsWith("#X") =>
-              try new String(Character.toChars(Integer.parseInt(body.substring(2), 16)))
-              catch { case _: Exception => null }
+              val digits = body.substring(2)
+              if (digits.nonEmpty && digits.forall(ch =>
+                    (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+                    (ch >= 'A' && ch <= 'F')))
+                try new String(Character.toChars(Integer.parseInt(digits, 16)))
+                catch { case _: Exception => null }
+              else null
             case _ if body.startsWith("#") =>
-              try new String(Character.toChars(Integer.parseInt(body.substring(1))))
-              catch { case _: Exception => null }
+              val digits = body.substring(1)
+              if (digits.nonEmpty && digits.forall(ch => ch >= '0' && ch <= '9'))
+                try new String(Character.toChars(Integer.parseInt(digits)))
+                catch { case _: Exception => null }
+              else null
             case _ => null
           }
           if (rep != null) { emit(rep); i = semi + 1 }

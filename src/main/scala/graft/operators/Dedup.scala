@@ -44,27 +44,68 @@ object Dedup {
     sh.select(col(idCol) +: sig: _*)
   }
 
-  /** LSH candidate pairs: band the signature (bands of `rowsPerBand`
-    * hashes), bucket-join within bands, emit distinct pairs a < b.
-    * This is the scale path: cost is bucket-local, never all-pairs. */
-  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            w: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** Banded LSH keys: one (id, band, bucket) row per band. MATERIALIZED
+    * (localCheckpoint) before any self-join: the signature expression tree
+    * (numHashes md5-over-shingles mins) is enormous, and inlining it into
+    * BOTH sides of a self-join doubles a codegen body that already strains
+    * the JIT code cache — computing it once and joining narrow 3-column
+    * rows is both the fast plan and the scalable one. */
+  def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val sigs = minhashSignatures(docs, idCol, textCol, w, numHashes)
     val nBands = numHashes / rowsPerBand
-    val banded = sigs.select(col(idCol), explode(array((0 until nBands).map { b =>
+    sigs.select(col(idCol), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           col(s"mh${b * rowsPerBand + r}")): _*)).as("bucket"))
     }: _*)).as("bb")).select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val l = banded.as("l")
-    val r = banded.as("r")
+      .localCheckpoint(true)
+  }
+
+  /** Default degenerate-bucket cap: buckets larger than this emit no pairs
+    * (they are near-certainly boilerplate/empty-text pileups whose O(n²)
+    * pair explosion would dominate the job at scale); route them through
+    * [[minhashOverflowBuckets]] for inspection instead. */
+  final val DefaultMaxBucket = 1000
+
+  /** LSH candidate pairs: band the signature (bands of `rowsPerBand`
+    * hashes), bucket-join within bands, emit distinct pairs a < b.
+    * This is the scale path: cost is bucket-local, never all-pairs —
+    * PROVIDED no bucket degenerates; `maxBucket` caps bucket size so one
+    * all-identical-boilerplate bucket cannot go quadratic. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int, numHashes: Int, rowsPerBand: Int,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand)
+    val wSz = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("__bn", count("*").over(wSz))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
+    log.info(s"minhashCandidatePairs: bucket cap $maxBucket " +
+      s"(oversize buckets emit no pairs; see minhashOverflowBuckets)")
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") &&
              col("l.bucket") === col("r.bucket") &&
              col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** Side output for the cap: the (band, bucket, n) rows whose bucket
+    * exceeded `maxBucket` and were excluded from pair generation. */
+  def minhashOverflowBuckets(docs: DataFrame, idCol: String, textCol: String,
+                             w: Int, numHashes: Int, rowsPerBand: Int,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count("*").as("n"))
+      .where(col("n") > maxBucket)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** SimHash fingerprint over words: bit b set iff sum over words of
     * (+1 if bit b of md5(word) else -1) > 0. `bits` <= 32 (hex nibbles of
@@ -89,29 +130,31 @@ object Dedup {
     sums.select(col(idCol), fingerprint.as("simhash"))
   }
 
-  /** Character n-gram sets + pairwise Jaccard counts over candidate pairs
-    * blocked on (lang, n_chars) equality. Returns (id_a, id_b, inter, uni)
-    * as exact integers (the ratio is inter/uni — left to the caller to
-    * avoid float comparisons on the oracle path). */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = docs.select(col(idCol), col("lang"), col("n_chars"), col(textCol))
-    val pairs = base.as("a").join(base.as("b"),
-        col("a.lang") === col("b.lang") &&
-        col("a.n_chars") === col("b.n_chars") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$textCol").as("text_a"), col(s"b.$textCol").as("text_b"))
-    def gramSet(c: Column): Column = array_distinct(
-      transform(sequence(lit(0), greatest(length(c) - n, lit(0))),
-        i => c.substr(lit(1) + i, lit(n))))
-    pairs
-      .withColumn("ga", gramSet($"text_a"))
-      .withColumn("gb", gramSet($"text_b"))
-      .select($"id_a", $"id_b",
-        size(array_intersect($"ga", $"gb")).as("inter"),
-        size(array_union($"ga", $"gb")).as("uni"))
+  /** Distinct character n-gram set of a text column. */
+  def gramSet(c: Column, n: Int): Column = array_distinct(
+    transform(sequence(lit(0), greatest(length(c) - n, lit(0))),
+      i => c.substr(lit(1) + i, lit(n))))
+
+  /** n-gram Jaccard VERIFIER over candidate pairs: takes a pairs relation
+    * (id_a, id_b) — produced by LSH banding, rolling-hash sketches, or any
+    * other blocker — and returns (id_a, id_b, inter, uni) as exact integers
+    * (the ratio is inter/uni — left to the caller to avoid float
+    * comparisons on the oracle path).
+    *
+    * Never generates pairs itself: at 100 TB pair GENERATION must come from
+    * a sub-quadratic candidate structure; this operator's cost is strictly
+    * O(|pairs|) plus two equi-joins on doc id (each broadcast- or
+    * shuffle-joinable; gram sets are computed once per doc, not per pair). */
+  def ngramJaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("__gid"),
+      gramSet(col(textCol), n).as("__g"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(grams.withColumnRenamed("__g", "ga"), col("id_a") === col("__gid"))
+      .drop("__gid")
+      .join(grams.withColumnRenamed("__g", "gb"), col("id_b") === col("__gid"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        size(array_union(col("ga"), col("gb"))).as("uni"))
   }
 }

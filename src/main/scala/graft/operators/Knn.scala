@@ -61,10 +61,14 @@ object Knn {
 
       val guarantee = n.toDouble * minDim
       val full = n >= gridMax // disk covered the whole grid: always resolved
+      // STRICT inequality (on squared distance, no sqrt): a feature exactly
+      // at distance n*minDim can sit just outside disk(n) with a smaller
+      // fid; a distance tie on the boundary must force one more expansion
+      // round or the (d2, fid) tie-break could miss the unprobed feature.
       val stats = candidates.groupBy($"__k")
         .agg(count("*").as("__cnt"), max($"d2").as("__dmax"))
         .withColumn("__done",
-          lit(full) || ($"__cnt" === k && sqrt($"__dmax") <= guarantee))
+          lit(full) || ($"__cnt" === k && $"__dmax" < guarantee * guarantee))
 
       val resolvedNow = candidates.join(
         stats.where($"__done").select("__k"), "__k")

@@ -51,13 +51,21 @@ object SpatialJoin {
   final case class CoverSides(cells: DataFrame, parts: DataFrame,
                               cellIds: Array[Long])
 
+  // memo key is the polygon CONTENT (regionId/part/ring values as value-
+  // equal Seqs — PolyPart holds Arrays whose equals is identity), never an
+  // identity hash: equal-content polygon seqs share one entry, and a
+  // GC-recycled identity hash can never alias a different polygon set
+  private def contentKey(parts: Seq[Polygons.PolyPart]): Seq[(Long, Int, Seq[Double])] =
+    parts.map(p => (p.regionId, p.part, p.rings.flatten.toSeq))
+
   private val coverCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Seq[(Long, Long, Int)]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (Seq[(Long, Int, Seq[Double])], Int, Int), Seq[(Long, Long, Int)]]()
 
   def coverDF(spark: SparkSession, parts: Seq[Polygons.PolyPart] = Polygons.all,
               rMin: Int = RMin, rMax: Int = RMax): CoverSides = {
     import spark.implicits._
-    val key = (System.identityHashCode(parts), rMin, rMax)
+    val key = (contentKey(parts), rMin, rMax)
     val cellRows = coverCache.computeIfAbsent(key, _ =>
       parts.flatMap { p =>
         Geo.cover(p.rings, rMin, rMax).map(cell => (cell, p.regionId, p.part))

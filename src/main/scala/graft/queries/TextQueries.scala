@@ -92,12 +92,34 @@ object TextQueries {
          |banded AS (
          |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sigs
          |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs)
+         |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs),
+         |capped AS (SELECT * FROM (
+         |  SELECT doc_id, band, bucket,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bn FROM banded)
+         |  WHERE bn <= ${Dedup.DefaultMaxBucket})
          |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |FROM banded l JOIN banded r
+         |FROM capped l JOIN capped r
          |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin) { (s, d) =>
       Dedup.minhashCandidatePairs(dupDocs(s, d), "doc_id", "text",
         w = 3, numHashes = 4, rowsPerBand = 2)
+    },
+
+    QueryDef.sql("q_dup_minhash_overflow",
+      s"""WITH docs AS ($dupDocsSql),
+         |sigs AS (SELECT doc_id,
+         |  ${minhashSqlExpr(0)} AS mh0, ${minhashSqlExpr(1)} AS mh1,
+         |  ${minhashSqlExpr(2)} AS mh2, ${minhashSqlExpr(3)} AS mh3
+         |  FROM (SELECT doc_id, text FROM docs) _),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs)
+         |SELECT CAST(band AS INT) AS band, bucket, CAST(count(*) AS BIGINT) AS n
+         |FROM banded GROUP BY 1, 2 HAVING count(*) > 2""".stripMargin) { (s, d) =>
+      // the degenerate-bucket side output (cap 2 here so small sf visibly
+      // exercises the overflow path; production default is DefaultMaxBucket)
+      Dedup.minhashOverflowBuckets(dupDocs(s, d), "doc_id", "text",
+        w = 3, numHashes = 4, rowsPerBand = 2, maxBucket = 2)
     },
 
     QueryDef.sql("q_dup_simhash", {
@@ -112,37 +134,58 @@ object TextQueries {
     },
 
     QueryDef.sql("q_dup_ngram_jaccard",
-      """WITH pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
-        |  FROM documents a JOIN documents b
-        |    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
-        |g AS (SELECT id_a, id_b,
-        |  list_distinct([substr(ta, i+1, 3) for i in range(0, greatest(len(ta)-3, 0) + 1)]) AS ga,
-        |  list_distinct([substr(tb, i+1, 3) for i in range(0, greatest(len(tb)-3, 0) + 1)]) AS gb
-        |  FROM pairs)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(ga, gb)) AS INT) AS inter,
-        |  CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS INT) AS uni
-        |FROM g""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3)
+      s"""WITH docs AS ($dupDocsSql),
+         |sigs AS (SELECT doc_id,
+         |  ${minhashSqlExpr(0)} AS mh0, ${minhashSqlExpr(1)} AS mh1,
+         |  ${minhashSqlExpr(2)} AS mh2, ${minhashSqlExpr(3)} AS mh3
+         |  FROM (SELECT doc_id, text FROM docs) _),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs),
+         |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |g AS (SELECT doc_id,
+         |  list_distinct([substr(text, i+1, 3) for i in range(0, greatest(len(text)-3, 0) + 1)]) AS gs
+         |  FROM docs)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS INT) AS inter,
+         |  CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS INT) AS uni
+         |FROM pairs p JOIN g a ON p.id_a = a.doc_id JOIN g b ON p.id_b = b.doc_id""".stripMargin) { (s, d) =>
+      // verifier shape: candidates come from the sub-quadratic LSH blocker,
+      // NEVER from (lang, n_chars) self-blocking (quadratic on popular blocks)
+      val docs = dupDocs(s, d)
+      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        w = 3, numHashes = 4, rowsPerBand = 2)
+      Dedup.ngramJaccardVerify(cands, docs, "doc_id", "text", n = 3)
     },
 
     QueryDef.sql("q_dup_embedding",
-      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2]))
-         |    AS BIGINT) AS score
-         |FROM q a JOIN q b ON a.vec_id < b.vec_id
-         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2]))
-         |    AS BIGINT) > 250000""".stripMargin) { (s, d) =>
-      // embedding-cosine near-dup: exact all-pairs at oracle scale (the
-      // 100 TB path swaps the self-join for Similarity.lshTopK buckets)
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv,
+         |  CAST(${lshBucketSql(64, 8)} AS BIGINT) AS bucket FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2]))
+         |      AS BIGINT) AS score
+         |  FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE score > 200000""".stripMargin) { (s, d) =>
+      // embedding-cosine near-dup, the 100 TB shape: candidate pairs are
+      // BUCKET-LOCAL (LSH hyperplane buckets — the self-join key), exact
+      // quantized rescoring inside buckets only, and a threshold that
+      // actually discriminates (~top 10% of same-bucket pairs at sf0.1,
+      // vs the old all-pairs plan whose filter passed 100% of pairs).
+      // localCheckpoint: quantize+bucket computed once, not inlined into
+      // both sides of the self-join (codegen size + work duplication).
       val q = t(s, d, "embeddings").select(col("vec_id"),
-        Similarity.quantized(col("embedding")).as("qv"))
-      q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+        Similarity.quantized(col("embedding")).as("qv"),
+        Similarity.lshBucket(col("embedding"), dim = 64, planes = 8).as("bucket"))
+        .localCheckpoint(true)
+      q.as("a").join(q.as("b"), col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           Similarity.qdot(col("a.qv"), col("b.qv")).as("score"))
-        .where(col("score") > 250000)
+        .where(col("score") > 200000)
     },
 
     QueryDef.sql("q_sim_topk",
@@ -170,19 +213,58 @@ object TextQueries {
         Similarity.lshBucket(col("embedding"), dim = 64, planes = 8).as("bucket"))
     },
 
-    QueryDef.rowsOnly("q_sim_ivf_topk") { (s, d) =>
-      // IVF-flat ANN (coarse quantizer + probed inverted lists; recall
-      // 0.98@5 vs brute force in KnnSpec). Approximate by construction ->
-      // rows-only driver check; exactness of scores asserted in tests.
+    QueryDef.sql("q_sim_ivf_topk",
+      s"""WITH cents AS (SELECT vec_id AS cent_id, $qvSql AS cv
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |corp AS (SELECT vec_id AS nid, $qvSql AS nv FROM embeddings),
+         |corpassign AS (SELECT nid, nv, cent_id FROM (
+         |  SELECT corp.nid, corp.nv, cents.cent_id, row_number() OVER (
+         |    PARTITION BY nid ORDER BY
+         |    CAST(list_sum(list_transform(list_zip(nv, cv), x -> x[1]*x[2])) AS BIGINT) DESC,
+         |    cent_id) AS crank
+         |  FROM corp CROSS JOIN cents) WHERE crank = 1),
+         |q AS (SELECT vec_id AS qid, $qvSql AS qv FROM embeddings
+         |  WHERE vec_id % 97 = 0),
+         |qprobe AS (SELECT qid, qv, cent_id FROM (
+         |  SELECT q.qid, q.qv, cents.cent_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY
+         |    CAST(list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) AS BIGINT) DESC,
+         |    cent_id) AS crank
+         |  FROM q CROSS JOIN cents) WHERE crank <= 6),
+         |scored AS (SELECT p.qid, c.nid,
+         |  CAST(list_sum(list_transform(list_zip(p.qv, c.nv), x -> x[1]*x[2])) AS BIGINT) AS score
+         |  FROM qprobe p JOIN corpassign c ON p.cent_id = c.cent_id AND p.qid != c.nid),
+         |ranked AS (SELECT qid, nid, score, row_number() OVER (
+         |  PARTITION BY qid ORDER BY score DESC, nid) AS rank FROM scored)
+         |SELECT qid, rank, nid, score FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
+      // IVF-flat ANN (coarse quantizer + probed inverted lists). The
+      // operator is deterministic end-to-end (fixed centroids, quantized
+      // integer scores, id tie-breaks), so the full DuckDB oracle applies —
+      // approximation only means recall != brute force, not nondeterminism.
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") % 97 === 0), emb,
         "vec_id", "embedding", k = 5, centroidEvery = 25, nprobe = 6)
     },
 
-    QueryDef.rowsOnly("q_sim_lsh_topk") { (s, d) =>
-      // ANN path: bucket-local candidates + exact rescoring. Approximate
-      // by construction, so no SQL oracle; recall vs brute force is
-      // asserted in SimilaritySpec.
+    QueryDef.sql("q_sim_lsh_topk", {
+      val probeList = ("qbucket" +: (0 until 8).map(j =>
+        s"xor(qbucket, ${1L << j})")).mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT vec_id AS nid, $qvSql AS nv,
+         |  CAST(${lshBucketSql(64, 8)} AS BIGINT) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, $qvSql AS qv,
+         |  CAST(${lshBucketSql(64, 8)} AS BIGINT) AS qbucket FROM embeddings
+         |  WHERE vec_id % 97 = 0),
+         |probes AS (SELECT qid, qv, unnest($probeList) AS bucket FROM q),
+         |scored AS (SELECT DISTINCT p.qid, c.nid,
+         |  CAST(list_sum(list_transform(list_zip(p.qv, c.nv), x -> x[1]*x[2])) AS BIGINT) AS score
+         |  FROM probes p JOIN c ON p.bucket = c.bucket AND p.qid != c.nid),
+         |ranked AS (SELECT qid, nid, score, row_number() OVER (
+         |  PARTITION BY qid ORDER BY score DESC, nid) AS rank FROM scored)
+         |SELECT qid, rank, nid, score FROM ranked WHERE rank <= 5""".stripMargin
+    }) { (s, d) =>
+      // Multiprobe LSH ANN: bucket-local candidates (Hamming<=1 probes) +
+      // exact quantized rescoring. Deterministic end-to-end, hence fully
+      // oracle-checked; recall vs brute force is asserted in SimilaritySpec.
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb.where(col("vec_id") % 97 === 0), emb,
         "vec_id", "embedding", k = 5, dim = 64, planes = 8)

@@ -77,9 +77,17 @@ def decode_collapse(s):
                 body = s[i + 1:semi]
                 rep = {"amp": "&", "lt": "<", "gt": ">", "quot": '"'}.get(body)
                 if rep is None and body.startswith('#'):
+                    # strict digit validation mirrors Java's parseInt: no
+                    # underscores, no surrounding whitespace ('&#1_0;',
+                    # '&# 12;' stay literal in both implementations)
+                    if body[1:2] in 'xX' and re.fullmatch(r'[0-9a-fA-F]+', body[2:]):
+                        cp = int(body[2:], 16)
+                    elif re.fullmatch(r'[0-9]+', body[1:]):
+                        cp = int(body[1:])
+                    else:
+                        cp = None
                     try:
-                        cp = int(body[2:], 16) if body[1:2] in 'xX' else int(body[1:])
-                        rep = chr(cp)
+                        rep = chr(cp) if cp is not None else None
                     except (ValueError, OverflowError):
                         rep = None
                 if rep is not None:
@@ -114,7 +122,10 @@ def normalize(lang, raw):
     t = re.sub(r'[ \t\n\x0b\f\r]+', ' ', raw.replace('_', ' '))
     t = t.strip(''.join(chr(c) for c in range(0x21)))
     if t:
-        t = t[0].upper() + t[1:]
+        # Java Character.toUpperCase is a SIMPLE per-codepoint mapping:
+        # full mappings that expand (ß->SS, ligatures) keep the original
+        up = t[0].upper()
+        t = (up if len(up) == 1 else t[0]) + t[1:]
     lang_t = lang.strip(''.join(chr(c) for c in range(0x21)))
     return lang_t.lower() + ':' + t
 
