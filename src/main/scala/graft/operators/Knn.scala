@@ -27,9 +27,22 @@ import graft.functions.GeoFunctions
  */
 object Knn {
 
+  /** Feature-index side of the per-round candidate join.
+    * Broadcast is the right call while the index fits an executor
+    * (features are the small dimension in the reference workload); Shuffle
+    * keys BOTH sides on the index cell — the 100x path where the feature
+    * table itself is web-scale and a full-index broadcast would OOM every
+    * executor. Auto picks by counting the index once (one cheap agg job,
+    * amortized across all expansion rounds). */
+  sealed trait Mode
+  case object Broadcast extends Mode
+  case object Shuffle extends Mode
+  final case class Auto(maxBroadcastRows: Long = 2000000L) extends Mode
+
   def nearest(points: DataFrame, keyCol: String,
               features: DataFrame, fidCol: String,
-              k: Int, indexRes: Int = 7, maxRounds: Int = 12): DataFrame = {
+              k: Int, indexRes: Int = 7, maxRounds: Int = 12,
+              mode: Mode = Auto()): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -37,9 +50,18 @@ object Knn {
     val minDim = math.min(dLon, dLat)
     val gridMax = 1 << indexRes // disk radius covering the whole grid
 
+    // materialized once: every expansion round re-joins the index, so the
+    // cell-encode scan must not be recomputed per round
     val fIdx = features
       .withColumn("fcell", GeoFunctions.cellEncode($"lat", $"lon", lit(indexRes)))
       .select(col(fidCol).as("__fid"), $"lat".as("__flat"), $"lon".as("__flon"), $"fcell")
+      .localCheckpoint(true)
+
+    val broadcastIndex = mode match {
+      case Broadcast => true
+      case Shuffle => false
+      case Auto(maxRows) => fIdx.count() <= maxRows
+    }
 
     val pts = points
       .select(col(keyCol).as("__k"), $"lat".as("__plat"), $"lon".as("__plon"))
@@ -52,9 +74,11 @@ object Knn {
     val w = Window.partitionBy($"__k").orderBy($"d2", $"__fid")
 
     while (round < maxRounds && !unresolved.isEmpty) {
+      val idxSide = if (broadcastIndex) fIdx.hint("broadcast")
+                    else fIdx.hint("merge") // sort-merge, both sides shuffle on cell
       val candidates = unresolved
         .withColumn("probe", explode(GeoFunctions.cellDisk($"pcell", lit(n))))
-        .join(fIdx.hint("broadcast"), $"probe" === fIdx("fcell"))
+        .join(idxSide, $"probe" === idxSide("fcell"))
         .withColumn("d2", GeoFunctions.d2($"__plat", $"__plon", $"__flat", $"__flon"))
         .withColumn("rank", row_number().over(w))
         .where($"rank" <= k)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bucket cap bounds an adversarial all-identical corpus") {
+    // 200 byte-identical docs: every band bucket degenerates to size 200 ->
+    // uncapped pair count would be 19,900; the cap must emit ZERO pairs and
+    // route the buckets to the overflow side output instead
+    val adversarial = docs((0L until 200L).map(i => (i, "same boilerplate text everywhere")))
+    val pairs = Dedup.minhashCandidatePairs(adversarial, "doc_id", "text",
+      w = 3, numHashes = 4, rowsPerBand = 2, maxBucket = 50)
+    assert(pairs.count() === 0L)
+    val overflow = Dedup.minhashOverflowBuckets(adversarial, "doc_id", "text",
+      w = 3, numHashes = 4, rowsPerBand = 2, maxBucket = 50)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(overflow.toSet === Set((0, 200L), (1, 200L)))
+  }
+
+  test("cap leaves small buckets untouched (pairs == uncapped pairs)") {
+    val mixed = docs(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now"),
+      (4L, "totally different words here now"),
+      (5L, "a third unrelated document text")))
+    val capped = Dedup.minhashCandidatePairs(mixed, "doc_id", "text",
+      w = 3, numHashes = 4, rowsPerBand = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
+    val d = docs(Seq(
+      (1L, "abcdef"),
+      (2L, "abcdef"),
+      (3L, "abcxyz")))
+    import spark.implicits._
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardVerify(cands, d, "doc_id", "text", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getInt(3)))).toMap
+    // grams(abcdef) = {abc,bcd,cde,def}; grams(abcxyz) = {abc,bcx,cxy,xyz}
+    assert(out === Map((1L, 2L) -> ((4, 4)), (1L, 3L) -> ((1, 7))))
+    // strictly a verifier: pair (2,3) was not a candidate, so it is absent
+    assert(!out.contains((2L, 3L)))
+  }
+}

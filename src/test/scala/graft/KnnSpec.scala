@@ -18,6 +18,20 @@ class KnnSpec extends SparkTestBase {
     assert(fast.nonEmpty && fast == slow)
   }
 
+  test("kNN index modes agree: broadcast == shuffle-on-cell == brute force") {
+    val pts = GeoFixtures.points(spark, sfDir).where(col("k") % 25 === 0)
+    val feats = GeoFixtures.features(spark, sfDir)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "rank", "fid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bc = toSet(Knn.nearest(pts, "k", feats, "fid", k = 3, mode = Knn.Broadcast))
+    val sh = toSet(Knn.nearest(pts, "k", feats, "fid", k = 3, mode = Knn.Shuffle))
+    val auto = toSet(Knn.nearest(pts, "k", feats, "fid", k = 3,
+      mode = Knn.Auto(maxBroadcastRows = 1))) // force the shuffle arm of Auto
+    val slow = toSet(Knn.bruteForce(pts, "k", feats, "fid", k = 3))
+    assert(bc.nonEmpty && bc == sh && sh == auto && auto == slow)
+  }
+
   test("kNN at k=8 and coarse index also matches brute force") {
     val pts = GeoFixtures.points(spark, sfDir).where(col("k") % 50 === 0)
     val feats = GeoFixtures.features(spark, sfDir)

@@ -71,6 +71,21 @@ class SourcesSpec extends SparkTestBase {
     assert(cover1.cellIds.sorted.sameElements(cover2.cellIds.sorted))
   }
 
+  test("cover memo keys by polygon CONTENT: equal-content seqs share covers") {
+    // deep-copy the polygon list (fresh PolyPart instances, fresh ring
+    // arrays): identical content, different identity -> must produce the
+    // exact same cover as the canonical instance (the old identity-hash
+    // key could silently miss or, worse, alias after GC recycling)
+    val copy = Polygons.all.map(p =>
+      Polygons.PolyPart(p.regionId, p.part, p.name, p.rings.map(_.clone())))
+    val a = graft.operators.SpatialJoin.coverDF(spark, Polygons.all)
+    val b = graft.operators.SpatialJoin.coverDF(spark, copy)
+    assert(a.cellIds.sorted.sameElements(b.cellIds.sorted))
+    // and different content must NOT collide: drop one part -> different cover
+    val c = graft.operators.SpatialJoin.coverDF(spark, Polygons.all.tail)
+    assert(!c.cellIds.sorted.sameElements(a.cellIds.sorted))
+  }
+
   test("LineageAgg: partitioning-independent count+xor") {
     val df = spark.range(0, 1000).select(col("id"),
       (col("id") % 7).as("g"), concat(lit("v"), col("id")).as("v"))
