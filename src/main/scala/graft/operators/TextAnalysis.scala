@@ -73,23 +73,22 @@ object TextAnalysis {
     * per document, the k smallest w-char Rabin-Karp window hashes plus the
     * single min fingerprint. Sketch overlap >= threshold flags near-dups
     * even when content is shifted/prefixed (MinHash-over-words misses
-    * character-level edits). */
+    * character-level edits). Codegen Expressions, not UDFs — same codegen
+    * discipline as the rest of the surface. */
   def rollingSketch(docs: DataFrame, idCol: String, textCol: String,
-                    w: Int = 16, k: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sketchUdf = udf((s: String) => graft.core.RollingHash.minSketch(s, w, k))
-    val fpUdf = udf((s: String) => graft.core.RollingHash.minFingerprint(s, w))
-    docs.select(col(idCol), sketchUdf(col(textCol)).as("sketch"),
-      fpUdf(col(textCol)).as("min_fp"))
-  }
+                    w: Int = 16, k: Int = 8): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.RollingFunctions.rollingMinSketch(col(textCol), w, k).as("sketch"),
+      graft.functions.RollingFunctions.rollingMinFingerprint(col(textCol), w).as("min_fp"))
 
   /** Candidate near-dup pairs by shared sketch hashes (explode + self-join
-    * on the hash — bucket-local, the scale path). */
+    * on the hash — bucket-local, the scale path). The exploded sketch is
+    * materialized once so the hash scan isn't recomputed on both join sides. */
   def rollingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           w: Int = 16, k: Int = 8, minShared: Int = 2): DataFrame = {
     val sk = rollingSketch(docs, idCol, textCol, w, k)
       .select(col(idCol), explode(col("sketch")).as("h"))
+      .localCheckpoint(true)
     sk.as("a").join(sk.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

@@ -64,7 +64,62 @@ object TextQueries {
     (sums, fp)
   }
 
+  // DuckDB mirror of graft.core.RollingHash: per-window Rabin-Karp hash
+  // mod 2^61-1 via HUGEINT arithmetic with precomputed power-of-257
+  // literals (sum of w terms < 2^81 fits HUGEINT; one mod at the end).
+  private def rollingPowList(w: Int): String = {
+    val m = (BigInt(1) << 61) - 1
+    (0 until w).map(p => s"CAST(${BigInt(257).modPow(BigInt(w - 1 - p), m)} AS HUGEINT)")
+      .mkString("[", ",", "]")
+  }
+  /** Window-hash CTEs over a `docs(doc_id, text)` relation (text length
+    * always >= w on these fixtures): wins -> one row per w-char window,
+    * hh -> (doc_id, h BIGINT). Single-line fragments (stripMargin safety). */
+  private def rollingHashCtes(w: Int): String =
+    s"wins AS (SELECT doc_id, unnest([substr(text, i+1, $w) for i in range(0, len(text)-$w+1)]) AS win FROM docs), " +
+    s"hh AS (SELECT doc_id, CAST(mod(list_sum(list_transform(range(0,$w), " +
+    s"p -> CAST(unicode(substr(win, CAST(p AS INT)+1, 1)) AS HUGEINT) * (${rollingPowList(w)})[CAST(p AS INT)+1])), " +
+    s"CAST(2305843009213693951 AS HUGEINT)) AS BIGINT) AS h FROM wins)"
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q_text_rolling_sketch",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |${rollingHashCtes(16)},
+         |dh AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ranked AS (SELECT doc_id, h,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM dh)
+         |SELECT doc_id, CAST(rn - 1 AS INT) AS pos, h
+         |FROM ranked WHERE rn <= 8""".stripMargin) { (s, d) =>
+      TextAnalysis.rollingSketch(t(s, d, "documents"), "doc_id", "text",
+          w = 16, k = 8)
+        .select(col("doc_id"), posexplode(col("sketch")))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
+    },
+
+    QueryDef.sql("q_text_rolling_fp",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |${rollingHashCtes(16)}
+         |SELECT doc_id, min(h) AS min_fp FROM hh GROUP BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.rollingSketch(t(s, d, "documents"), "doc_id", "text",
+          w = 16, k = 8)
+        .select(col("doc_id"), col("min_fp"))
+    },
+
+    QueryDef.sql("q_dup_rolling_pairs",
+      s"""WITH docs AS ($dupDocsSql),
+         |${rollingHashCtes(16)},
+         |dh AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ranked AS (SELECT doc_id, h,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM dh),
+         |sk AS (SELECT doc_id, h FROM ranked WHERE rn <= 8)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, d) =>
+      TextAnalysis.rollingNearDupPairs(dupDocs(s, d), "doc_id", "text",
+        w = 16, k = 8, minShared = 2)
+    },
 
     QueryDef.sql("q_dup_exact",
       s"""WITH docs AS ($dupDocsSql)
