@@ -1,14 +1,15 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{GeoQueries, QueryDef, RelationalQueries, TextQueries}
+import graft.queries.{GeoQueries, MultimodalQueries, QueryDef, RelationalQueries, TextQueries}
 import graft.sources.Pages
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
-    RelationalQueries.all ++ GeoQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ GeoQueries.all ++ TextQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query: the full pages -> geocode -> spatial join -> tile
     * aggregation pipeline on a synthesized input_hint-shaped pages table

@@ -101,6 +101,43 @@ object Multimodal {
     }
   }
 
+  /** Adapter: a documents-like relation as an Asset table (payload = the
+    * UTF-8 text bytes; every doc_id % 3 == 2 is stamped as a timed "video"
+    * asset so the frame-sampling path has non-zero durations). Payloads
+    * derive purely from table columns, so the DuckDB oracle can reproduce
+    * every downstream decode/feature/frame result exactly — this is what
+    * makes the multimodal plumbing driver-checkable, not just spec-tested. */
+  def assetsFromDocs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val video = id % 3 == 2
+        Asset(id, if (video) "video/x-text" else "text/plain", 0, 0,
+          if (video) 10L * payload.length else 0L, payload)
+      }
+  }
+
+  final case class AssetCounts(assetId: Long, kind: String, counts: Array[Long])
+
+  /** Exact-integer twin of [[featureStub]]: the UNnormalized 64-bin byte
+    * histogram. Same mapPartitions slot and batch shape; integer output so
+    * the oracle compare is exact (the L1-normalized float variant stays for
+    * similarity-search consumers). */
+  def featureCounts(assets: Dataset[Asset]): Dataset[AssetCounts] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val hist = new Array[Long](64)
+      var i = 0
+      while (i < a.payload.length) {
+        hist((a.payload(i) & 0xff) >> 2) += 1L
+        i += 1
+      }
+      AssetCounts(a.assetId, "bytehist64", hist)
+    })
+  }
+
   /** Deterministic synthetic asset table (payload bytes from the id). */
   def synthesize(spark: SparkSession, n: Long,
                  numPartitions: Int = 16): Dataset[Asset] = {

@@ -57,4 +57,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.collect().map(f => (f.assetId, f.frameIdx, f.payload.toSeq)).toSet ==
       frames2.collect().map(f => (f.assetId, f.frameIdx, f.payload.toSeq)).toSet)
   }
+
+  test("documents adapt to assets; integer histogram is exact and complete") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assets = Multimodal.assetsFromDocs(docs)
+    val counts = Multimodal.featureCounts(assets).collect()
+    val lens = docs.selectExpr("doc_id", "length(text)").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(counts.nonEmpty && counts.length == lens.size)
+    counts.foreach { c =>
+      assert(c.counts.length == 64)
+      assert(c.counts.sum == lens(c.assetId)) // every byte lands in a bin
+    }
+    // the float variant is the L1-normalization of the integer counts
+    val floats = Multimodal.features(assets).collect()
+      .map(f => f.assetId -> f.feature).toMap
+    counts.take(20).foreach { c =>
+      val total = math.max(1, lens(c.assetId)).toFloat
+      (0 until 64).foreach { j =>
+        assert(math.abs(floats(c.assetId)(j) - c.counts(j) / total) < 1e-6f)
+      }
+    }
+  }
 }
