@@ -55,6 +55,20 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Scan-only control: no engine code at all — measures what the box's
+    * memory/IO bandwidth allows a scan-heavy job at each thread count.
+    * Whatever efficiency THIS job loses from 8 -> 32 threads is the
+    * machine's ceiling, not the engine's plan. */
+  def scanOnce(cores: Int, corpus: String): Double = {
+    val spark = session(cores)
+    try {
+      val pages = spark.read.parquet(corpus)
+      val t0 = System.nanoTime()
+      pages.selectExpr("sum(length(html))").collect()
+      (System.nanoTime() - t0) / 1e9
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
@@ -67,22 +81,31 @@ object ScalingBench {
       } finally s.stop()
     }
     val levels = Seq(2, 8, 32)
-    // interleaved rounds; round 0 is JIT/codegen warm-up, discarded
+    // interleaved rounds; round 0 is JIT/codegen warm-up, discarded.
+    // each round also times the scan-only control at 8 and 32 threads.
+    val scanLevels = Seq(8, 32)
     val samples = (0 to rounds).flatMap { round =>
       levels.map(c => (round, c, runOnce(c, corpus)))
+    }
+    val scans = (0 to rounds).flatMap { round =>
+      scanLevels.map(c => (round, c, scanOnce(c, corpus)))
     }
     val rowSet = samples.map(_._3._2).toSet
     require(rowSet.size == 1, s"result rows differ across parallelism: $rowSet")
     val best = levels.map { c =>
       c -> samples.collect { case (r, `c`, (sec, _)) if r > 0 => sec }.min
     }.toMap
+    val scanBest = scanLevels.map { c =>
+      c -> scans.collect { case (r, `c`, sec) if r > 0 => sec }.min
+    }.toMap
     def pps(c: Int) = nPages / best(c)
     val eff28 = pps(8) / (4.0 * pps(2))
     val eff832 = pps(32) / (4.0 * pps(8))
+    val scanEff832 = scanBest(8) / (4.0 * scanBest(32))
     val json = levels.map(c =>
       s""""local${c}_sec":${best(c)},"local${c}_pages_per_sec":${pps(c)}""")
       .mkString("{", ",",
-        s""","pages":$nPages,"rounds":$rounds,"eff_2_to_8":$eff28,"eff_8_to_32":$eff832,"tile_rows":${rowSet.head}}""")
+        s""","pages":$nPages,"rounds":$rounds,"eff_2_to_8":$eff28,"eff_8_to_32":$eff832,"scan8_sec":${scanBest(8)},"scan32_sec":${scanBest(32)},"scan_eff_8_to_32":$scanEff832,"tile_rows":${rowSet.head}}""")
     println(json)
     val md =
       s"""# BENCH — flagship throughput + scaling efficiency
@@ -105,7 +128,7 @@ object ScalingBench {
          |
          || parallelism | best sec | pages/sec |
          ||---|---|---|
-         |${levels.map(c => f"| local[$c] | ${best(c)}%.2f | ${pps(c)}%.0f |").mkString("\n")}
+         |${levels.map(c => f"| local[$c] | ${best(c)}%.2f | ${pps(c)}%.0f |").mkString("\n|")}
          |
          || pair (N -> 4N) | scaling efficiency |
          ||---|---|
@@ -114,9 +137,11 @@ object ScalingBench {
          |
          |**Primary evidence: local[2] -> local[8] = ${f"$eff28%.3f"}**
          |(target >= 0.8, BASELINE.json). The 8 -> 32 pair saturates the
-         |single VM's memory bandwidth: a scan-only job (`sum(length(html))`,
-         |no engine code at all) improves just ~2x from 8 to 32 threads on
-         |this box, which caps ANY scan-heavy job at ~0.5 efficiency there.
+         |single VM's memory bandwidth — measured control, same run: the
+         |scan-only job (`sum(length(html))`, no engine code at all) takes
+         |${f"${scanBest(8)}%.2f"} s at local[8] vs ${f"${scanBest(32)}%.2f"} s
+         |at local[32] = ${f"$scanEff832%.3f"} scaling efficiency, which caps
+         |ANY scan-heavy job near that figure there.
          |A real 4N-executor cluster adds a memory bus, cache and disks
          |with every node — precisely what one box cannot — so the
          |sub-bandwidth pair is the faithful proxy for executor scaling.

@@ -76,12 +76,17 @@ object Knn {
     while (round < maxRounds && !unresolved.isEmpty) {
       val idxSide = if (broadcastIndex) fIdx.hint("broadcast")
                     else fIdx.hint("merge") // sort-merge, both sides shuffle on cell
+      // checkpoint: candidates feed three consumers per round (stats, the
+      // resolved accumulator, the unresolved anti-join) — materialize the
+      // expensive explode+join+window once instead of recomputing it per
+      // consumer lineage
       val candidates = unresolved
         .withColumn("probe", explode(GeoFunctions.cellDisk($"pcell", lit(n))))
         .join(idxSide, $"probe" === idxSide("fcell"))
         .withColumn("d2", GeoFunctions.d2($"__plat", $"__plon", $"__flat", $"__flon"))
         .withColumn("rank", row_number().over(w))
         .where($"rank" <= k)
+        .localCheckpoint(true)
 
       val guarantee = n.toDouble * minDim
       val full = n >= gridMax // disk covered the whole grid: always resolved

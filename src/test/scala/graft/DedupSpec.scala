@@ -38,6 +38,20 @@ class DedupSpec extends SparkTestBase {
     assert(capped === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("embedding near-dup query plans a bucket equi-join, never cross") {
+    // pins the O(N^2) fix: candidate generation must key on the LSH bucket
+    val q = SparkEntry.queries("q_dup_embedding")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("bucket"), plan.take(2000))
+    // and the filter discriminates: strict non-trivial subset of pairs
+    val kept = q.count()
+    assert(kept > 0, "threshold filtered everything")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(kept < emb * (emb - 1) / 4, s"filter passed $kept of ~${emb * (emb - 1) / 2} pairs")
+  }
+
   test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
     val d = docs(Seq(
       (1L, "abcdef"),
