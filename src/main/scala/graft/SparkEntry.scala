@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{GeoQueries, MultimodalQueries, QueryDef, RelationalQueries, TextQueries}
+import graft.queries.{CurationQueries, GeoQueries, MultimodalQueries, QueryDef, RelationalQueries, TextQueries}
 import graft.sources.Pages
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +9,7 @@ object SparkEntry {
 
   val registry: Seq[QueryDef] =
     RelationalQueries.all ++ GeoQueries.all ++ TextQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ CurationQueries.all
 
   /** Flagship query: the full pages -> geocode -> spatial join -> tile
     * aggregation pipeline on a synthesized input_hint-shaped pages table

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data curation operators: deterministic content-hash sampling
+ * and token-budget shard packing — the two ops that turn a deduplicated
+ * corpus into actual training shards.
+ *
+ * Both follow the repo's exact-match discipline: integer arithmetic only,
+ * reproducible in the DuckDB oracle, identical results at any parallelism.
+ */
+object Curation {
+
+  /** Deterministic per-row sample bucket in [0, 1000): the first 8 hex
+    * nibbles of md5(id) as an integer, mod 1000. Pure built-ins (codegen),
+    * and trivially reproducible in SQL — unlike xxhash64, whose seed/impl
+    * is Spark-private. Stable across runs/partitions by construction. */
+  def hashBucket(id: Column): Column = {
+    val hex = md5(id.cast("string"))
+    (0 until 8).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1).cast("long") *
+        lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _) % 1000
+  }
+
+  /** Keep rows whose hash bucket < perMille (deterministic ~perMille/1000
+    * sample; stratify by calling per stratum with different rates). */
+  def sampleByHash(docs: DataFrame, idCol: String, perMille: Int): DataFrame =
+    docs.withColumn("bucket", hashBucket(col(idCol)))
+      .where(col("bucket") < perMille)
+
+  /** Pack documents into token-budget shards: within each `langCol` group,
+    * documents ordered by `idCol` are laid out back-to-back and a document
+    * lands in shard floor(start_offset / budget) (assignment by start
+    * offset, so every document has exactly one shard and shard boundaries
+    * never split a document's tokens across budget accounting).
+    *
+    * Scale shape — a naive `sum over (partition by lang order by id)`
+    * window is ONE task per language (a language can be terabytes). This
+    * is the exact two-phase cumsum instead:
+    *   1. range-partition by (lang, id); per-partition token totals are a
+    *      tiny relation (partitions x langs rows);
+    *   2. prefix offsets over that tiny relation (cheap window), broadcast
+    *      back, local cumsum within each (lang, partition) slice + offset.
+    * Parallelism = #partitions per language instead of 1, and the result
+    * is independent of where the range boundaries fall. */
+  def packShards(docs: DataFrame, idCol: String, tokCol: String,
+                 langCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val parted = docs
+      .select(col(idCol), col(langCol), col(tokCol).cast("long").as("__tok"))
+      .repartitionByRange(col(langCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin slice assignment for the two phases
+    val partTotals = parted.groupBy(col(langCol), col("__pid"))
+      .agg(sum(col("__tok")).as("__ptot"))
+    val wOff = Window.partitionBy(col(langCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partTotals
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .drop("__ptot")
+    val wLoc = Window.partitionBy(col(langCol), col("__pid")).orderBy(col(idCol))
+    parted.join(broadcast(offsets), Seq(langCol, "__pid"))
+      .withColumn("__cum", sum(col("__tok")).over(wLoc) + col("__off"))
+      .select(col(idCol), col(langCol), col("__tok").as("n_tokens"),
+        floor((col("__cum") - col("__tok")) / lit(budget.toDouble)).cast("int")
+          .as("shard"))
+  }
+}

@@ -105,6 +105,48 @@ object Dedup {
       .agg(count("*").as("n"))
       .where(col("n") > maxBucket)
 
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation. Every node gets the minimum doc id
+    * reachable in its component as `rep` — the canonical "keep one copy
+    * per cluster" assignment downstream of any pair generator (LSH,
+    * rolling-hash, embedding buckets).
+    *
+    * Scale shape: each round is two equi-joins + a min-aggregation, all
+    * keyed on node id (bucket-local shuffles, map-side partial min);
+    * rounds = O(component diameter), and near-dup components are shallow
+    * (dup clusters are cliques or stars from a shared bucket, diameter
+    * 1-2), so 3-4 rounds converge in practice. Labels are checkpointed per
+    * round to keep lineage flat. Deterministic: min is order-independent.
+    * Nodes absent from `pairs` are singletons and simply don't appear —
+    * union them in as (id, id) if a total assignment is needed. */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrRep = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("rep")).as("nrep"))
+      val next = labels.join(nbrRep, labels("id") === nbrRep("nid"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .where(col("rep") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"clusters did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** SimHash fingerprint over words: bit b set iff sum over words of

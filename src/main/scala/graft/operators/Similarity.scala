@@ -86,21 +86,31 @@ object Similarity {
               nprobe: Int = 4): DataFrame = {
     val cents = corpus.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), quantized(col(vecCol)).as("cv"))
-    def nearestCentroids(side: DataFrame, id: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
+    // corpus -> nearest centroid is an ARGMAX, not a window: max_by is a
+    // declarative aggregate with map-side partial aggregation, so the
+    // corpus x centroids candidate rows collapse to one row per vector
+    // BEFORE the shuffle — a window would shuffle all N x C raw rows at
+    // 100 TB. Tie-break (higher cscore, then smaller cent_id) matches the
+    // window ordering the oracle uses.
+    val corpusAssigned = corpus
+      .select(col(idCol).as("nid"), quantized(col(vecCol)).as("nv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", qdot(col("nv"), col("cv")))
+      .groupBy(col("nid"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cscore"), -col("cent_id"))).as("cent_id"),
+        first(col("nv")).as("nv")) // nv is constant within the group
+    // queries probe their nprobe nearest centroids: tiny side, window is fine
+    val queryProbes = {
+      val w = Window.partitionBy(col("qid"))
         .orderBy(col("cscore").desc, col("cent_id"))
-      side.crossJoin(broadcast(cents))
+      queries.select(col(idCol).as("qid"), quantized(col(vecCol)).as("qv"))
+        .crossJoin(broadcast(cents))
         .withColumn("cscore", qdot(col("qv"), col("cv")))
         .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= n)
+        .where(col("crank") <= nprobe)
         .drop("cv", "cscore", "crank")
     }
-    val corpusAssigned = nearestCentroids(
-      corpus.select(col(idCol).as("nid"), quantized(col(vecCol)).as("qv")),
-      "nid", 1).withColumnRenamed("qv", "nv")
-    val queryProbes = nearestCentroids(
-      queries.select(col(idCol).as("qid"), quantized(col(vecCol)).as("qv")),
-      "qid", nprobe)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
     queryProbes.join(corpusAssigned, Seq("cent_id"))

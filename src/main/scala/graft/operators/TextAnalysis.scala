@@ -81,6 +81,25 @@ object TextAnalysis {
       graft.functions.RollingFunctions.rollingMinSketch(col(textCol), w, k).as("sketch"),
       graft.functions.RollingFunctions.rollingMinFingerprint(col(textCol), w).as("min_fp"))
 
+  /** Per-language top-k terms by DOCUMENT frequency (the corpus-statistics
+    * op behind stopword lists and TF-IDF vocabularies). Distinct words per
+    * doc first (array_distinct before explode: a word counts once per doc),
+    * then (lang, word) count — partial+final hash agg, shuffle keyed on the
+    * word — then a per-lang top-k window over the already-aggregated (tiny)
+    * relation. Deterministic ties: (df desc, word asc). */
+  def topTerms(docs: DataFrame, langCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("df").desc, col("word"))
+    docs.select(col(langCol),
+        explode(array_distinct(split(col(textCol), " "))).as("word"))
+      .groupBy(col(langCol), col("word"))
+      .agg(count("*").as("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Candidate near-dup pairs by shared sketch hashes (explode + self-join
     * on the hash — bucket-local, the scale path). The exploded sketch is
     * materialized once so the hash scan isn't recomputed on both join sides. */

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+
+/** Curation + cluster-assignment driver queries (exact DuckDB oracles). */
+object CurationQueries {
+
+  // DuckDB mirror of Curation.hashBucket (first 8 md5 nibbles mod 1000)
+  private def hashBucketSql(idExpr: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("((", " + ", ") % 1000)")
+
+  // same dup-injected corpus as TextQueries (duplicates guarantee clusters)
+  private val dupDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |WHERE doc_id % 10 = 0""".stripMargin
+  private def dupDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+    docs.unionByName(docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private def minhashSqlExpr(seed: Int): String =
+    s"""list_aggregate(list_transform(
+       |  CASE WHEN len(string_split(text, ' ')) < 3
+       |       THEN [array_to_string(string_split(text, ' '), ' ')]
+       |       ELSE [array_to_string(string_split(text, ' ')[j+1:j+3], ' ')
+       |             for j in range(0, len(string_split(text, ' ')) - 2)] END,
+       |  s -> md5('$seed|' || s)), 'min')""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q_cur_sample", {
+      s"""SELECT doc_id, lang, ${hashBucketSql("doc_id")} AS bucket
+         |FROM documents
+         |WHERE ${hashBucketSql("doc_id")} < 200""".stripMargin
+    }) { (s, d) =>
+      Curation.sampleByHash(
+        s.read.parquet(s"$d/documents.parquet").select("doc_id", "lang"),
+        "doc_id", perMille = 200)
+    },
+
+    QueryDef.sql("q_cur_shards",
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n,
+        |  sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
+        |SELECT doc_id, lang, n AS n_tokens,
+        |  CAST(floor((cum - n) / 2000.0) AS INT) AS shard
+        |FROM c""".stripMargin) { (s, d) =>
+      // two-phase distributed cumsum == the one-window SQL semantics
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\\s+")).as("n_tok"))
+      Curation.packShards(docs, "doc_id", "n_tok", "lang", budget = 2000L)
+    },
+
+    QueryDef.sql("q_dup_clusters",
+      s"""WITH RECURSIVE docs AS ($dupDocsSql),
+         |sigs AS (SELECT doc_id,
+         |  ${minhashSqlExpr(0)} AS mh0, ${minhashSqlExpr(1)} AS mh1,
+         |  ${minhashSqlExpr(2)} AS mh2, ${minhashSqlExpr(3)} AS mh3
+         |  FROM (SELECT doc_id, text FROM docs) _),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs),
+         |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
+      // connected components over LSH candidate pairs: min-label propagation
+      // vs the oracle's recursive transitive closure
+      val pairs = Dedup.minhashCandidatePairs(dupDocs(s, d), "doc_id", "text",
+        w = 3, numHashes = 4, rowsPerBand = 2)
+      Dedup.clusters(pairs)
+    })
+}

@@ -367,6 +367,20 @@ object TextQueries {
       TextAnalysis.tokens(t(s, d, "documents"), "doc_id", "text")
     },
 
+    QueryDef.sql("q_text_topterms",
+      """WITH words AS (SELECT lang,
+        |  unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents),
+        |df AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS df
+        |  FROM words GROUP BY 1, 2),
+        |ranked AS (SELECT lang, word, df,
+        |  row_number() OVER (PARTITION BY lang ORDER BY df DESC, word) AS rank
+        |  FROM df)
+        |SELECT lang, word, df, rank FROM ranked WHERE rank <= 10""".stripMargin) { (s, d) =>
+      TextAnalysis.topTerms(t(s, d, "documents"), "lang", "text", k = 10)
+        .select(col("lang"), col("word"), col("df"), col("rank"))
+    },
+
     QueryDef.sql("q_text_fingerprint",
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint

@@ -52,6 +52,21 @@ class DedupSpec extends SparkTestBase {
     assert(kept < emb * (emb - 1) / 4, s"filter passed $kept of ~${emb * (emb - 1) / 2} pairs")
   }
 
+  test("clusters: min-label propagation finds exact connected components") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (22L, 20L), (22L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // partitioning invariance (determinism contract)
+    val got2 = Dedup.clusters(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
   test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
     val d = docs(Seq(
       (1L, "abcdef"),
