@@ -38,6 +38,19 @@ object StreamingTiles {
       .agg(count("*").as("n"))
   }
 
+  /** Streaming exact dedup over a pages stream: first occurrence of each
+    * content hash wins; duplicates arriving later are dropped. State is
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`: a repeat of
+    * a page older than the watermark may re-emit, which is the standard
+    * trade for bounded state at 10^12-page scale — unbounded exact dedup
+    * state is the batch job's business, SURVEY.md §2 Dedup row). Keyed by
+    * md5(html): the shuffle key is the hash, so state is evenly spread. */
+  def dedupStream(pages: DataFrame, watermark: String = "2 hours"): DataFrame =
+    pages
+      .withColumn("html_md5", md5(col("html")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("html_md5")
+
   /** Batch-parity variant: stream -> foreachBatch -> the batch pipeline,
     * appending matches to a parquet sink. */
   def matchesSink(spark: SparkSession, pages: DataFrame,

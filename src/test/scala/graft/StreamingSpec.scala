@@ -31,6 +31,27 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("streaming dedup == batch dedup (first content-hash occurrence wins)") {
+    val base = java.nio.file.Files.createTempDirectory("graftstream3").toString
+    // duplicate every third page's html under a different url
+    val pages = Pages.synthesize(spark, 600, 3)
+    val dups = pages.where(col("url").endsWith("0"))
+      .withColumn("url", concat(lit("https://mirror.example/"), col("url")))
+    pages.unionByName(dups).write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(pages.schema).parquet(s"$base/src")
+    val q = StreamingTiles.dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT count(*), count(DISTINCT html_md5) FROM dedup")
+      .collect()(0)
+    val batchDistinct = spark.read.parquet(s"$base/src")
+      .select(md5(col("html"))).distinct().count()
+    assert(got.getLong(0) == batchDistinct) // one survivor per content hash
+    assert(got.getLong(1) == batchDistinct)
+  }
+
   test("windowed tile stats run on a stream (memory sink)") {
     val base = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val pages = Pages.synthesize(spark, 800, 4)
