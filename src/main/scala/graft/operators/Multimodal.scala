@@ -81,6 +81,30 @@ object Multimodal {
     assets.mapPartitions(_.map(featureStub))
   }
 
+  final case class Resized(assetId: Long, newLen: Int, payload: Array[Byte])
+
+  /** STUB resize: 1-D nearest-neighbor resample of the payload bytes to
+    * `newLen` (source index = i * len / newLen, integer division — the
+    * exact arithmetic a nearest-neighbor image downscale applies per axis;
+    * a real image resize drops into the same mapPartitions slot). Works
+    * for down- AND up-sampling; pure integer math, oracle-reproducible. */
+  def resizeStub(a: Asset, newLen: Int): Resized = {
+    val len = a.payload.length
+    val out = new Array[Byte](if (len == 0) 0 else newLen)
+    var i = 0
+    while (i < out.length) {
+      out(i) = a.payload(((i.toLong * len) / newLen).toInt)
+      i += 1
+    }
+    Resized(a.assetId, out.length, out)
+  }
+
+  /** Partition-local batch resize over the asset table. */
+  def resize(assets: Dataset[Asset], newLen: Int): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(resizeStub(_, newLen)))
+  }
+
   /** Frame sampling for video-ish assets: every `everyMs` of duration,
     * emit a frame row whose payload is a deterministic slice of the
     * source bytes (stub for a real frame grab). 1 -> N generator shape. */

@@ -50,6 +50,18 @@ object MultimodalQueries {
         .select(col("asset_id"), col("pos").as("bin"), col("col").as("n"))
     },
 
+    QueryDef.sql("q_mm_resize",
+      """SELECT doc_id AS asset_id, 64 AS new_len,
+        |  array_to_string([substr(text, CAST((i * len(text)) // 64 AS INT) + 1, 1)
+        |                   for i in range(0, 64)], '') AS resized_text
+        |FROM documents""".stripMargin) { (s, d) =>
+      // nearest-neighbor byte resample (integer source indexing), the
+      // resize slot of the decode/feature/resize/frame-sample quartet
+      Multimodal.resize(assets(s, d), newLen = 64)
+        .select(col("assetId").as("asset_id"), col("newLen").as("new_len"),
+          col("payload").cast("string").as("resized_text"))
+    },
+
     QueryDef.sql("q_mm_frames",
       """WITH vids AS (SELECT doc_id, text, 10 * len(text) AS dur
         |  FROM documents WHERE doc_id % 3 = 2),

@@ -30,6 +30,18 @@ class CurationSpec extends SparkTestBase {
     assert(fast2 === fast)
   }
 
+  test("packShards plan: offsets broadcast, no cartesian, partial aggregation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).as("n_tok"))
+    val plan = Curation.packShards(docs, "doc_id", "n_tok", "lang", 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan.take(1500))
+  }
+
   test("sampleByHash is deterministic, stable, and roughly proportional") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
     val n = docs.count()

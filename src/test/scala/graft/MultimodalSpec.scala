@@ -58,6 +58,26 @@ class MultimodalSpec extends SparkTestBase {
       frames2.collect().map(f => (f.assetId, f.frameIdx, f.payload.toSeq)).toSet)
   }
 
+  test("resize: nearest-neighbor resample, exact endpoints, both directions") {
+    val assets = Multimodal.synthesize(spark, 60, 4)
+    val down = Multimodal.resize(assets, 32).collect()
+    val src = assets.collect().map(a => a.assetId -> a.payload).toMap
+    down.foreach { r =>
+      assert(r.newLen == 32 && r.payload.length == 32)
+      val p = src(r.assetId)
+      (0 until 32).foreach { i =>
+        assert(r.payload(i) == p(((i.toLong * p.length) / 32).toInt))
+      }
+      assert(r.payload(0) == p(0)) // first byte always preserved
+    }
+    // upsample beyond source length repeats nearest source bytes
+    val up = Multimodal.resize(assets, 4096).collect()
+    up.foreach { r =>
+      assert(r.payload.length == 4096)
+      assert(r.payload(0) == src(r.assetId)(0))
+    }
+  }
+
   test("documents adapt to assets; integer histogram is exact and complete") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val assets = Multimodal.assetsFromDocs(docs)
