@@ -19,6 +19,16 @@ class BucketingSpec extends SparkTestBase {
       .withColumn("cell", GeoFunctions.cellEncode($"lat", $"lon", lit(7)))
     spark.sql("DROP TABLE IF EXISTS feats_b")
     spark.sql("DROP TABLE IF EXISTS pts_b")
+    // the in-memory catalog forgets tables across JVMs but the managed
+    // location on disk persists — clear it so saveAsTable can recreate
+    Seq("feats_b", "pts_b").foreach { t =>
+      val dir = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     feats.write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
       .saveAsTable("feats_b")
     pts.write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
