@@ -120,10 +120,11 @@ object Dedup {
     * Nodes absent from `pairs` are singletons and simply don't appear —
     * union them in as (id, id) if a total assignment is needed. */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // duplicate edges are harmless to min-propagation (min is idempotent),
+    // so no distinct pass is spent on the edge list
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
       .localCheckpoint(true)
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))

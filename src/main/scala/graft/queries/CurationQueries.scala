@@ -61,6 +61,22 @@ object CurationQueries {
       Curation.packShards(docs, "doc_id", "n_tok", "lang", budget = 2000L)
     },
 
+    QueryDef.sql("q_agg_kmv",
+      """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+        |r AS (SELECT lang, h,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
+        |SELECT lang, CAST(rn - 1 AS INT) AS pos, h
+        |FROM r WHERE rn <= 8""".stripMargin) { (s, d) =>
+      // typed KMV Aggregator: the sketch state (k smallest distinct md5s)
+      // is exact and partitioning-independent, so it oracle-checks fully
+      val u = udaf(new graft.functions.KmvSketch(8))
+      s.read.parquet(s"$d/documents.parquet")
+        .groupBy(col("lang"))
+        .agg(u(md5(col("text"))).as("sketch"))
+        .select(col("lang"), posexplode(col("sketch")))
+        .select(col("lang"), col("pos"), col("col").as("h"))
+    },
+
     QueryDef.sql("q_dup_clusters",
       s"""WITH RECURSIVE docs AS ($dupDocsSql),
          |sigs AS (SELECT doc_id,

@@ -101,4 +101,32 @@ class SourcesSpec extends SparkTestBase {
     assert(run(2) == run(16))
     assert(run(2).forall(_._2 > 0))
   }
+
+  test("KmvSketch: bounded state, partitioning-independent, sane estimate") {
+    import graft.functions.KmvSketch
+    val df = spark.range(0, 5000).select(col("id"),
+      (col("id") % 3).as("g"), md5((col("id") % 1000).cast("string")).as("h"))
+    val u = udaf(new KmvSketch(64))
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g").agg(u(col("h")).as("sk"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val a = run(2)
+    val b = run(32)
+    assert(a == b) // merge order cannot matter
+    a.values.foreach { sk =>
+      assert(sk.length == 64 && sk == sk.sorted && sk.distinct == sk)
+    }
+    // gcd(3, 1000) = 1, so every group sees all 1000 distinct hashes;
+    // KMV with k=64 should estimate within ~40%
+    a.values.foreach { sk =>
+      val est = KmvSketch.estimate(sk, 64)
+      assert(est > 600 && est < 1400, s"estimate $est")
+    }
+    // below k the sketch IS the distinct set (exact count)
+    val tiny = spark.range(0, 30).select(lit(0L).as("g"),
+      md5((col("id") % 10).cast("string")).as("h"))
+    val sk = tiny.groupBy("g").agg(u(col("h")).as("sk"))
+      .collect()(0).getSeq[String](1)
+    assert(sk.length == 10 && KmvSketch.estimate(sk, 64) == 10.0)
+  }
 }
