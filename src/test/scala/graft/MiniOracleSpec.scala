@@ -39,7 +39,10 @@ class MiniOracleSpec extends AnyFunSuite {
       "x<STYLE>p { color: red }</STYLE>y",
       "a &unknown; b & c",
       "<p>café 中文</p>",
-      "<p>multi   ish   spaces</p>")
+      "<p>multi   ish   spaces</p>",
+      // strict entity bodies: underscores, whitespace, signs, overflow and
+      // bad hex must stay literal IDENTICALLY in both implementations
+      "<p>&#1_0; &# 12; &#+12; &#-12; &#x1F600; &#xZZ; &#2147483648; &#x7fffffff; &#;</p>")
     val b64 = cases.map(s => java.util.Base64.getEncoder
       .encodeToString(s.getBytes("UTF-8")))
     val res = ask(b64.map(b => s"""{"op":"extract","html_b64":"$b"}"""))
@@ -78,7 +81,10 @@ class MiniOracleSpec extends AnyFunSuite {
   test("normalize parity") {
     val cases = Seq(("it", "colosseo"), ("en", "new_york_city"),
       ("EN ", "  spaced   title "), ("de", "%C3%9Cberlingen"),
-      ("fr", "caf%c3%a9"), ("en", "a"))
+      ("fr", "caf%c3%a9"), ("en", "a"),
+      // simple vs full case mapping: ß and ligature-first titles must not
+      // expand (Java Character.toUpperCase is a simple mapping)
+      ("de", "ßtraße"), ("en", "ﬁrst_ligature"), ("tr", "istanbul"))
     val res = ask(cases.map { case (l, r) =>
       s"""{"op":"normalize","lang":${jsonStr(l)},"raw":${jsonStr(r)}}""" })
     cases.zip(res).foreach { case ((l, r), line) =>
