@@ -24,6 +24,7 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-flagship")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()

@@ -31,6 +31,7 @@ object ScalingBench {
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // the synthesized corpus compresses hard; default 128 MB split

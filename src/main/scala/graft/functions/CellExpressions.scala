@@ -36,7 +36,9 @@ object CellRuntime {
 }
 
 case class CellEncode(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_encode"
@@ -50,7 +52,9 @@ case class CellEncode(first: Expression, second: Expression, third: Expression)
       t: Expression): Expression = copy(f, s, t)
 }
 
-case class CellParent(left: Expression, right: Expression) extends BinaryExpression {
+case class CellParent(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_parent"
@@ -63,7 +67,9 @@ case class CellParent(left: Expression, right: Expression) extends BinaryExpress
       Expression = copy(l, r)
 }
 
-case class CellTileX(child: Expression) extends UnaryExpression {
+case class CellTileX(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_tile_x"
@@ -74,7 +80,9 @@ case class CellTileX(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-case class CellTileY(child: Expression) extends UnaryExpression {
+case class CellTileY(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_tile_y"
@@ -86,7 +94,9 @@ case class CellTileY(child: Expression) extends UnaryExpression {
 }
 
 /** ring(cell, k) -> ARRAY<LONG>: cells at Chebyshev distance exactly k. */
-case class CellRing(left: Expression, right: Expression) extends BinaryExpression {
+case class CellRing(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_ring"
@@ -100,7 +110,9 @@ case class CellRing(left: Expression, right: Expression) extends BinaryExpressio
 }
 
 /** disk(cell, k) -> ARRAY<LONG>: all cells within Chebyshev distance k. */
-case class CellDisk(left: Expression, right: Expression) extends BinaryExpression {
+case class CellDisk(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_disk"
@@ -115,7 +127,9 @@ case class CellDisk(left: Expression, right: Expression) extends BinaryExpressio
 
 /** pip(lat, lon, rings ARRAY<ARRAY<DOUBLE>>) -> BOOLEAN, exact ray cast. */
 case class PipContains(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, ArrayType(ArrayType(DoubleType)))
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pip_contains"

@@ -24,7 +24,8 @@ object RollingRuntime {
 /** rolling_min_sketch(text, w, k) -> ARRAY<BIGINT>: the k smallest distinct
   * w-char Rabin-Karp window hashes, ascending (shift-robust near-dup sketch). */
 case class RollingMinSketch(child: Expression, w: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_min_sketch"
@@ -39,7 +40,8 @@ case class RollingMinSketch(child: Expression, w: Int, k: Int)
 
 /** rolling_min_fp(text, w) -> BIGINT: minimum w-char window hash. */
 case class RollingMinFingerprint(child: Expression, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_min_fp"

@@ -63,7 +63,9 @@ object TextRuntime {
 }
 
 /** extract_text(html BINARY) -> STRING (deterministic, byte-identical). */
-case class ExtractText(child: Expression) extends UnaryExpression {
+case class ExtractText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "extract_text"
@@ -75,7 +77,9 @@ case class ExtractText(child: Expression) extends UnaryExpression {
 }
 
 /** geo_lat(html BINARY) -> DOUBLE (null when the page has no geo meta). */
-case class GeoLat(child: Expression) extends UnaryExpression {
+case class GeoLat(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "geo_lat"
@@ -93,7 +97,9 @@ case class GeoLat(child: Expression) extends UnaryExpression {
 }
 
 /** geo_lon(html BINARY) -> DOUBLE (null when the page has no geo meta). */
-case class GeoLon(child: Expression) extends UnaryExpression {
+case class GeoLon(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "geo_lon"
@@ -111,7 +117,9 @@ case class GeoLon(child: Expression) extends UnaryExpression {
 }
 
 /** token_count_ws(text) -> INT: size(split(text, ' ')) without the array. */
-case class TokenCountWs(child: Expression) extends UnaryExpression {
+case class TokenCountWs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_count_ws"
@@ -123,7 +131,9 @@ case class TokenCountWs(child: Expression) extends UnaryExpression {
 }
 
 /** tag_normalize(lang, raw) -> STRING join key (SURVEY.md §1.7). */
-case class TagNormalize(left: Expression, right: Expression) extends BinaryExpression {
+case class TagNormalize(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "tag_normalize"
@@ -137,7 +147,9 @@ case class TagNormalize(left: Expression, right: Expression) extends BinaryExpre
 }
 
 /** tag_classify(raw) -> STRING error class ('ok' when well-formed). */
-case class TagClassify(child: Expression) extends UnaryExpression {
+case class TagClassify(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "tag_classify"
@@ -149,7 +161,9 @@ case class TagClassify(child: Expression) extends UnaryExpression {
 }
 
 /** tag_parse(raw) -> STRING normalized key, null when malformed. */
-case class TagParse(child: Expression) extends UnaryExpression {
+case class TagParse(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "tag_parse"

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: injected optimizer rule + injected
+  * SQL functions (the test session enables
+  * spark.sql.extensions=graft.plans.GraftExtensions — see SparkTestBase). */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("optimizer rule rewrites size(split(s, ' ')) to token_count_ws") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = docs.select(size(split(col("text"), " ")).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("token_count_ws"), optimized)
+    assert(!optimized.toLowerCase.contains("split"), optimized)
+    // and the rewrite is value-identical to the unoptimized semantics
+    val viaRule = df.collect().map(_.getInt(0)).toSeq
+    val manual = docs.collect().map(_.getAs[String]("text"))
+      .map(t => t.count(_ == ' ') + 1).toSeq
+    assert(viaRule.sorted == manual.sorted && viaRule.nonEmpty)
+  }
+
+  test("rule leaves non-matching splits alone") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (expr <- Seq("size(split(text, ','))", "size(split(text, ' ', 2))")) {
+      val plan = docs.selectExpr(expr).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("token_count_ws"), s"$expr -> $plan")
+    }
+  }
+
+  test("injected SQL functions work in a pure-SQL session") {
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("d")
+    val r = spark.sql(
+      """SELECT tag_classify('en:Title') AS c,
+        |  tag_parse('en:some_page') AS k,
+        |  cell_parent(cell_encode(45.0, 9.0, 12), 7) AS p,
+        |  token_count_ws('a b c') AS t
+        |FROM d LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getString(0) == "ok")
+    assert(r.getString(1) == "en:Some page")
+    assert(r.getLong(2) == graft.core.Cells.parent(
+      graft.core.Cells.encode(45.0, 9.0, 12), 7))
+    assert(r.getInt(3) == 3)
+    val sk = spark.sql(
+      "SELECT rolling_min_sketch('abcdefghijklmnopqrstuvwxyz', 16, 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sk == graft.core.RollingHash.minSketch(
+      "abcdefghijklmnopqrstuvwxyz", 16, 4).toSeq)
+  }
+}
