@@ -239,5 +239,33 @@ object RelationalQueries {
       t(s, d, "events")
         .select(col("event_id"),
           sum(floor(col("value")).cast("long")).over(w).as("msum"))
+    },
+
+    QueryDef.sql("q_d4_sessionize",
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev IS NULL
+        |       OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM f""".stripMargin) { (s, d) =>
+      // gap-based sessionization (30-min inactivity): exact microsecond
+      // arithmetic on both sides; windows are per-user (inherently
+      // sequential per user, parallel across the user dimension)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev").cast("timestamp")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .select(col("user_id"), col("event_id"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("session_id"))
     })
 }

@@ -52,6 +52,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.getLong(1) == batchDistinct)
   }
 
+  test("mapGroupsWithState checksums: streaming state == batch aggregation") {
+    val base = java.nio.file.Files.createTempDirectory("graftstream4").toString
+    val pages = Pages.synthesize(spark, 900, 5)
+      .select((xxhash64(col("url")) % 37).as("key"),
+        xxhash64(col("html")).as("h"))
+    pages.write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", "1") // force several micro-batches
+      .parquet(s"$base/src")
+    val q = graft.streaming.StreamingState.checksums(stream)
+      .writeStream.outputMode(graft.streaming.StreamingState.outputMode)
+      .format("memory").queryName("cks")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits per-batch rows; the LAST row per key is the final
+    // state — compare it to the one-shot batch aggregation
+    val got = spark.sql(
+      """SELECT key, n, xor FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n DESC) rn
+        |  FROM cks) WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.streaming.StreamingState.checksumsBatch(
+      spark.read.parquet(s"$base/src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("windowed tile stats run on a stream (memory sink)") {
     val base = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val pages = Pages.synthesize(spark, 800, 4)
