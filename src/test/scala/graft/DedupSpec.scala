@@ -52,6 +52,30 @@ class DedupSpec extends SparkTestBase {
     assert(kept < emb * (emb - 1) / 4, s"filter passed $kept of ~${emb * (emb - 1) / 2} pairs")
   }
 
+  test("null and empty texts neither crash nor explode the dedup operators") {
+    import spark.implicits._
+    val weird = Seq[(Long, String)]((1L, null), (2L, null), (3L, ""),
+      (4L, ""), (5L, "real content here words"), (6L, "real content here words"))
+      .toDF("doc_id", "text")
+    // exact dedup: the two empty strings form one group; nulls hash to
+    // null and are grouped too (documented: route/clean nulls upstream)
+    val ex = Dedup.exact(weird).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(ex(Some(java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString)) == 2L)
+    assert(ex(Some(java.security.MessageDigest.getInstance("MD5")
+      .digest("real content here words".getBytes).map("%02x".format(_)).mkString)) == 2L)
+    // LSH pairs: bounded output, no crash; the cap guards the degenerate
+    // all-empty bucket as usual
+    val pairs = Dedup.minhashCandidatePairs(weird.where($"text".isNotNull),
+      "doc_id", "text", w = 3, numHashes = 4, rowsPerBand = 2)
+    assert(pairs.count() <= 6)
+    // rolling sketch: empty text yields the defined [0] sketch
+    val sk = graft.operators.TextAnalysis.rollingSketch(
+      weird.where($"text" === ""), "doc_id", "text").collect()
+    assert(sk.forall(_.getSeq[Long](1) == Seq(0L)))
+  }
+
   test("clusters: min-label propagation finds exact connected components") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 22)
