@@ -130,6 +130,12 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("rep"))
       .localCheckpoint(true)
+    // labels only ever DECREASE under min-propagation, so the total label
+    // sum is a strictly decreasing convergence witness: one cheap agg per
+    // round instead of a join + isEmpty
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -139,8 +145,9 @@ object Dedup {
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .where(col("rep") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
