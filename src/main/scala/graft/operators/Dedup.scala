@@ -76,15 +76,23 @@ object Dedup {
     * all-identical-boilerplate bucket cannot go quadratic. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             w: Int, numHashes: Int, rowsPerBand: Int,
-                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand)
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatePairsFromBanded(
+      minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand),
+      idCol, maxBucket)
+
+  /** Pair generation from an already-materialized banded relation — the
+    * entry point when several consumers (pairs, overflow, verification,
+    * clustering) share one signature computation. */
+  def candidatePairsFromBanded(banded: DataFrame, idCol: String,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val wSz = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
     val capped = banded
       .withColumn("__bn", count("*").over(wSz))
       .where(col("__bn") <= maxBucket)
       .drop("__bn")
-    log.info(s"minhashCandidatePairs: bucket cap $maxBucket " +
+    log.info(s"minhash candidate pairs: bucket cap $maxBucket " +
       s"(oversize buckets emit no pairs; see minhashOverflowBuckets)")
     val l = capped.as("l")
     val r = capped.as("r")
@@ -100,7 +108,13 @@ object Dedup {
   def minhashOverflowBuckets(docs: DataFrame, idCol: String, textCol: String,
                              w: Int, numHashes: Int, rowsPerBand: Int,
                              maxBucket: Int = DefaultMaxBucket): DataFrame =
-    minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand)
+    overflowFromBanded(
+      minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand), maxBucket)
+
+  /** Overflow side output from an already-materialized banded relation. */
+  def overflowFromBanded(banded: DataFrame,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame =
+    banded
       .groupBy(col("band"), col("bucket"))
       .agg(count("*").as("n"))
       .where(col("n") > maxBucket)

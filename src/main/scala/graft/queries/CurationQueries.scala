@@ -13,25 +13,8 @@ object CurationQueries {
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("((", " + ", ") % 1000)")
 
-  // same dup-injected corpus as TextQueries (duplicates guarantee clusters)
-  private val dupDocsSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id, text FROM documents
-      |WHERE doc_id % 10 = 0""".stripMargin
-  private def dupDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
-    docs.unionByName(docs.where(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-  }
-
-  private def minhashSqlExpr(seed: Int): String =
-    s"""list_aggregate(list_transform(
-       |  CASE WHEN len(string_split(text, ' ')) < 3
-       |       THEN [array_to_string(string_split(text, ' '), ' ')]
-       |       ELSE [array_to_string(string_split(text, ' ')[j+1:j+3], ' ')
-       |             for j in range(0, len(string_split(text, ' ')) - 2)] END,
-       |  s -> md5('$seed|' || s)), 'min')""".stripMargin
+  // dup-injected corpus + minhash oracle fragments: queries/TextFixtures
+  import TextFixtures.{dupDocsSql, minhashSqlExpr}
 
   val all: Seq[QueryDef] = Seq(
 
@@ -100,8 +83,8 @@ object CurationQueries {
          |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
       // connected components over LSH candidate pairs: min-label propagation
       // vs the oracle's recursive transitive closure
-      val pairs = Dedup.minhashCandidatePairs(dupDocs(s, d), "doc_id", "text",
-        w = 3, numHashes = 4, rowsPerBand = 2)
+      val pairs = Dedup.candidatePairsFromBanded(
+        TextFixtures.bandedCached(s, d), "doc_id")
       Dedup.clusters(pairs)
     })
 }

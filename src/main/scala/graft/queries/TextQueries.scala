@@ -18,26 +18,9 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** documents + injected duplicates, both engine- and oracle-side. */
-  private def dupDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select("doc_id", "text")
-    docs.unionByName(docs.where(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-  }
-  private val dupDocsSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id, text FROM documents
-      |WHERE doc_id % 10 = 0""".stripMargin
-
-  // DuckDB mirror of Dedup.shingles / Dedup.minhash (w=3)
-  private def minhashSqlExpr(seed: Int): String =
-    s"""list_aggregate(list_transform(
-       |  CASE WHEN len(string_split(text, ' ')) < 3
-       |       THEN [array_to_string(string_split(text, ' '), ' ')]
-       |       ELSE [array_to_string(string_split(text, ' ')[j+1:j+3], ' ')
-       |             for j in range(0, len(string_split(text, ' ')) - 2)] END,
-       |  s -> md5('$seed|' || s)), 'min')""".stripMargin
+  // dup-injected corpus + minhash oracle fragments shared across the
+  // dedup query family (and with CurationQueries): queries/TextFixtures
+  import TextFixtures.{dupDocs, dupDocsSql, minhashSqlExpr}
 
   private val qvSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
@@ -155,8 +138,7 @@ object TextQueries {
          |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |FROM capped l JOIN capped r
          |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin) { (s, d) =>
-      Dedup.minhashCandidatePairs(dupDocs(s, d), "doc_id", "text",
-        w = 3, numHashes = 4, rowsPerBand = 2)
+      Dedup.candidatePairsFromBanded(TextFixtures.bandedCached(s, d), "doc_id")
     },
 
     QueryDef.sql("q_dup_minhash_overflow",
@@ -173,8 +155,7 @@ object TextQueries {
          |FROM banded GROUP BY 1, 2 HAVING count(*) > 2""".stripMargin) { (s, d) =>
       // the degenerate-bucket side output (cap 2 here so small sf visibly
       // exercises the overflow path; production default is DefaultMaxBucket)
-      Dedup.minhashOverflowBuckets(dupDocs(s, d), "doc_id", "text",
-        w = 3, numHashes = 4, rowsPerBand = 2, maxBucket = 2)
+      Dedup.overflowFromBanded(TextFixtures.bandedCached(s, d), maxBucket = 2)
     },
 
     QueryDef.sql("q_dup_simhash", {
@@ -210,10 +191,9 @@ object TextQueries {
          |FROM pairs p JOIN g a ON p.id_a = a.doc_id JOIN g b ON p.id_b = b.doc_id""".stripMargin) { (s, d) =>
       // verifier shape: candidates come from the sub-quadratic LSH blocker,
       // NEVER from (lang, n_chars) self-blocking (quadratic on popular blocks)
-      val docs = dupDocs(s, d)
-      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        w = 3, numHashes = 4, rowsPerBand = 2)
-      Dedup.ngramJaccardVerify(cands, docs, "doc_id", "text", n = 3)
+      val cands = Dedup.candidatePairsFromBanded(
+        TextFixtures.bandedCached(s, d), "doc_id")
+      Dedup.ngramJaccardVerify(cands, dupDocs(s, d), "doc_id", "text", n = 3)
     },
 
     QueryDef.sql("q_dup_embedding",
