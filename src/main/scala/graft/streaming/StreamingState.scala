@@ -38,6 +38,38 @@ object StreamingState {
       }
   }
 
+  final case class SessionAssign(userId: Long, eventId: Long, sessionId: Long)
+
+  /** Streaming gap-based sessionization via `flatMapGroupsWithState` —
+    * the streaming twin of q_d4_sessionize (new session after `gapUs`
+    * microseconds of inactivity). State per user is two longs (last event
+    * time, running session ordinal). Events must arrive per-user in event
+    * -time order across batches for exact batch parity (a time-ordered
+    * replay — the standard contract for session state without a reorder
+    * buffer; out-of-order arrivals within one batch are sorted here, and
+    * production would add a watermark-sized buffer in the same slot). */
+  def sessionize(events: DataFrame, gapUs: Long): Dataset[SessionAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (lastTs, session) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (_, eid, t) =>
+            if (lastTs == Long.MinValue || t - lastTs > gapUs) session += 1
+            lastTs = t
+            SessionAssign(user, eid, session)
+          }
+          state.update((lastTs, session))
+          out.iterator
+      }
+  }
+
   /** The batch reference: same checksum via one aggregation. */
   def checksumsBatch(keyed: DataFrame): DataFrame =
     keyed.groupBy(col("key"))

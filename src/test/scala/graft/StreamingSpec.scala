@@ -80,6 +80,42 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("flatMapGroupsWithState sessionization == batch window sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files.createTempDirectory("graftstream5").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "event_id", "ts")
+    // time-ordered replay in two strictly ordered arrivals: all events
+    // before the median ts land first, the rest arrive as a later batch
+    val cut = events.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+      .collect()(0).getDouble(0).toLong
+    val early = events.where(unix_micros(col("ts").cast("timestamp")) <= cut)
+    val late = events.where(unix_micros(col("ts").cast("timestamp")) > cut)
+    early.coalesce(1).write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/src")
+    val q = graft.streaming.StreamingState.sessionize(stream, gapUs = 1800000000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.processAllAvailable()
+    late.coalesce(1).write.mode("append").parquet(s"$base/src")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT userId, eventId, sessionId FROM sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch reference: the q_d4_sessionize window logic (sessions 1-based
+    // there too: first event breaks)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expected = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev").cast("timestamp")) > 1800000000L, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("windowed tile stats run on a stream (memory sink)") {
     val base = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val pages = Pages.synthesize(spark, 800, 4)
