@@ -147,8 +147,10 @@ object Dedup {
     // labels only ever DECREASE under min-propagation, so the total label
     // sum is a strictly decreasing convergence witness: one cheap agg per
     // round instead of a join + isEmpty
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // empty edge list
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

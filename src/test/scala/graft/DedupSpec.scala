@@ -91,6 +91,12 @@ class DedupSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("clusters of an empty pair set is empty (no NPE on the null sum)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).count() === 0L)
+  }
+
   test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
     val d = docs(Seq(
       (1L, "abcdef"),
