@@ -112,6 +112,25 @@ object GeoQueries {
         .select("k", "rank", "fid")
     },
 
+    QueryDef.sql("q_geo_knn_shuffle",
+      s"""WITH pts AS (SELECT * FROM (${pointsSql}) WHERE k % 100 = 0),
+         |feats AS (${featuresSql}),
+         |scored AS (
+         |  SELECT p.k, f.fid,
+         |    (p.lat - f.lat) * (p.lat - f.lat)
+         |      + (p.lon - f.lon) * (p.lon - f.lon) AS d2,
+         |    row_number() OVER (PARTITION BY p.k ORDER BY
+         |      (p.lat - f.lat) * (p.lat - f.lat)
+         |        + (p.lon - f.lon) * (p.lon - f.lon), f.fid) AS rank
+         |  FROM pts p CROSS JOIN feats f)
+         |SELECT k, rank, fid FROM scored WHERE rank <= 3""".stripMargin) { (s, d) =>
+      // the 100x path: sort-merge on the index cell, no full-index
+      // broadcast — must equal the broadcast mode's oracle exactly
+      Knn.nearest(points(s, d).where(col("k") % 100 === 0), "k",
+          features(s, d), "fid", k = 3, mode = Knn.Shuffle)
+        .select("k", "rank", "fid")
+    },
+
     QueryDef.sql("q_geo_tag_match",
       s"""WITH pts AS (${pointsSql}),
          |feats AS (${featuresSql}),
