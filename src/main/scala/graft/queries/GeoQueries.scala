@@ -131,6 +131,29 @@ object GeoQueries {
         .select("k", "rank", "fid")
     },
 
+    QueryDef.sql("q_geo_suggest",
+      s"""WITH pts AS (SELECT * FROM (${pointsSql})
+         |  WHERE k % 50 = 0 AND (wiki_raw LIKE 'http%' OR wiki_raw NOT LIKE '%:%')),
+         |feats AS (${featuresSql}),
+         |scored AS (
+         |  SELECT p.k, f.fid,
+         |    row_number() OVER (PARTITION BY p.k ORDER BY
+         |      (p.lat - f.lat) * (p.lat - f.lat)
+         |        + (p.lon - f.lon) * (p.lon - f.lon), f.fid) AS rank
+         |  FROM pts p CROSS JOIN feats f)
+         |SELECT s.k, s.rank, s.fid, f.tag_key AS suggested
+         |FROM scored s JOIN feats f USING (fid) WHERE s.rank <= 3""".stripMargin) { (s, d) =>
+      // the reference's headline feature: for pages whose wikipedia tag is
+      // malformed (would route to errors), suggest the tags of the k
+      // nearest mapped features — kNN composed with the feature dimension
+      val untagged = points(s, d).where(col("k") % 50 === 0 &&
+        TextFunctions.tagParse(col("wiki_raw")).isNull)
+      val feats = features(s, d)
+      Knn.nearest(untagged, "k", feats, "fid", k = 3)
+        .join(feats.select(col("fid"), col("tag_key").as("suggested")), "fid")
+        .select(col("k"), col("rank"), col("fid"), col("suggested"))
+    },
+
     QueryDef.sql("q_geo_tag_match",
       s"""WITH pts AS (${pointsSql}),
          |feats AS (${featuresSql}),
