@@ -44,6 +44,31 @@ object CurationQueries {
       Curation.packShards(docs, "doc_id", "n_tok", "lang", budget = 2000L)
     },
 
+    QueryDef.sql("q_prof_events",
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(event_id) AS VARCHAR) AS min_str,
+        |    CAST(max(event_id) AS VARCHAR) AS max_str
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(*) - count(user_id),
+        |    count(DISTINCT user_id),
+        |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', count(*), count(*) - count(event_type),
+        |    count(DISTINCT event_type),
+        |    min(event_type), max(event_type)
+        |  FROM events)""".stripMargin) { (s, d) =>
+      // one-pass profiler (single agg + stack unpivot) vs per-column
+      // aggregate UNIONs in the oracle
+      graft.operators.Profile.profile(
+        s.read.parquet(s"$d/events.parquet"),
+        Seq("event_id", "user_id", "event_type"))
+    },
+
     QueryDef.sql("q_agg_kmv",
       """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
         |r AS (SELECT lang, h,
