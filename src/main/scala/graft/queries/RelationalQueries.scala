@@ -241,6 +241,24 @@ object RelationalQueries {
           sum(floor(col("value")).cast("long")).over(w).as("msum"))
     },
 
+    QueryDef.sql("q_interval_join",
+      """WITH bands AS (SELECT n_nationkey AS band_id,
+        |  CAST(n_nationkey * 4 AS DOUBLE) AS lo,
+        |  CAST(n_nationkey * 4 + 7 AS DOUBLE) AS hi FROM nation)
+        |SELECT e.event_id, b.band_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi""".stripMargin) { (s, d) =>
+      // generic 1-D interval join: overlapping value bands from nation,
+      // bucket-decomposed equi-join + refine vs the oracle's theta join
+      val bands = t(s, d, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 4).cast("double").as("lo"),
+        (col("n_nationkey") * 4 + 7).cast("double").as("hi"))
+      graft.operators.IntervalJoin.pointInInterval(
+          t(s, d, "events").select("event_id", "value"), "value",
+          bands, "lo", "hi", bucketWidth = 5.0)
+        .select(col("event_id"), col("band_id"))
+    },
+
     QueryDef.sql("q_asof_join",
       """WITH snap AS (SELECT user_id, ts, event_id AS snap_id,
         |    value AS snap_value
