@@ -171,6 +171,18 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 
+  /** The deletion step that ends a dedup pipeline: keep each cluster's
+    * representative (its min id) and every unclustered document, drop the
+    * other cluster members. One anti-join against the (small relative to
+    * the corpus) non-representative id set — broadcast- or shuffle-
+    * joinable on the doc id. */
+  def keepOnePerCluster(docs: DataFrame, idCol: String,
+                        clusters: DataFrame): DataFrame = {
+    val losers = clusters.where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** SimHash fingerprint over words: bit b set iff sum over words of

@@ -14,7 +14,7 @@ object CurationQueries {
     }.mkString("((", " + ", ") % 1000)")
 
   // dup-injected corpus + minhash oracle fragments: queries/TextFixtures
-  import TextFixtures.{dupDocsSql, minhashSqlExpr}
+  import TextFixtures.{bandedSqlCtes, dupDocsSql, minhashSqlExpr}
 
   val all: Seq[QueryDef] = Seq(
 
@@ -111,5 +111,30 @@ object CurationQueries {
       val pairs = Dedup.candidatePairsFromBanded(
         TextFixtures.bandedCached(s, d), "doc_id")
       Dedup.clusters(pairs)
+    },
+
+    QueryDef.sql("q_dup_keep_one",
+      s"""WITH RECURSIVE docs AS ($dupDocsSql),
+         |$bandedSqlCtes,
+         |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id FROM docs d
+         |WHERE NOT EXISTS (SELECT 1 FROM clusters c
+         |  WHERE c.doc_id = d.doc_id AND c.doc_id != c.rep)""".stripMargin) { (s, d) =>
+      // the pipeline's end product: drop every non-representative cluster
+      // member, keep representatives + unclustered docs
+      val docs = TextFixtures.dupDocs(s, d)
+      val clusters = Dedup.clusters(Dedup.candidatePairsFromBanded(
+        TextFixtures.bandedCached(s, d), "doc_id"))
+      Dedup.keepOnePerCluster(docs, "doc_id", clusters).select("doc_id")
     })
 }
