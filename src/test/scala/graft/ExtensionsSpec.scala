@@ -47,4 +47,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(sk == graft.core.RollingHash.minSketch(
       "abcdefghijklmnopqrstuvwxyz", 16, 4).toSeq)
   }
+
+  test("a pure-SQL spatial candidate+refine runs on injected geo functions") {
+    // unit-square polygon as a SQL array literal; grid of test points
+    val rings = "array(array(0.0D, 0.0D, 1.0D, 0.0D, 1.0D, 1.0D, 0.0D, 1.0D))"
+    val rows = spark.sql(
+      s"""SELECT lat, lon, pip_contains(lat, lon, $rings) AS inside,
+         |  cell_disk(cell_encode(lat, lon, 7), 1) AS disk
+         |FROM (SELECT CAST(i * 0.49 AS DOUBLE) AS lat FROM (SELECT explode(sequence(-2, 3)) AS i)) lats
+         |CROSS JOIN (SELECT CAST(j * 0.49 AS DOUBLE) AS lon FROM (SELECT explode(sequence(-2, 3)) AS j)) lons""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      val (lat, lon) = (r.getDouble(0), r.getDouble(1))
+      val expected = graft.core.Geo.contains(lat, lon,
+        Array(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0)))
+      assert(r.getBoolean(2) == expected, s"($lat,$lon)")
+      assert(r.getSeq[Long](3).length == 9) // disk(1) = 3x3 neighborhood
+    }
+    assert(rows.count(_.getBoolean(2)) > 0 && rows.exists(!_.getBoolean(2)))
+  }
 }
