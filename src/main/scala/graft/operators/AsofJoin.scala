@@ -26,6 +26,9 @@ object AsofJoin {
 
   def latestPrior(left: DataFrame, right: DataFrame, keyCol: String,
                   tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val clash = left.columns.toSet.intersect(payloadCols.toSet)
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: ${clash.mkString(", ")} — alias the right side first")
     val payload = struct(payloadCols.map(col): _*)
     val pType = right.select(payload.as("__p")).schema("__p").dataType
     val lStruct = struct(left.columns.map(col): _*)

@@ -27,7 +27,7 @@ object Profile {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', __nn_$c, __nd_$c, __min_$c, __max_$c"
+      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
     }.mkString(", ")
     one.selectExpr("__n",
         s"stack(${cols.length}, $stackArgs) AS (column, n_non_null, n_distinct, min_str, max_str)")
