@@ -37,4 +37,30 @@ class IntervalJoinSpec extends SparkTestBase {
       "lo", "hi", 5.0).select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("property: random overlapping intervals == theta join, several widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 8).foreach { round =>
+      val nI = 30 + rnd.nextInt(40)
+      val intervals = (0 until nI).map { i =>
+        val lo = rnd.nextDouble() * 200 - 100
+        (i.toLong, lo, lo + rnd.nextDouble() * 25) // spans 0..25 wide
+      }.toDF("band_id", "lo", "hi")
+      val points = (0 until 400).map(j =>
+        (j.toLong, rnd.nextDouble() * 240 - 120)).toDF("pid", "v")
+      val width = Seq(0.5, 3.0, 10.0, 40.0)(round % 4)
+      val fast = IntervalJoin.pointInInterval(points, "v", intervals,
+          "lo", "hi", width)
+        .select("pid", "band_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val slow = points.join(intervals,
+          col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "band_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(fast.length == slow.length && fast.toSet == slow.toSet,
+        s"round $round width $width")
+      assert(fast.length == fast.toSet.size) // exact-once, every width
+    }
+  }
 }
