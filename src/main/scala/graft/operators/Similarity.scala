@@ -123,10 +123,19 @@ object Similarity {
 
   /** Bucketed ANN: candidates share the query's bucket (or any bucket at
     * Hamming distance <= 1 when `probe1` — multiprobe improves recall),
-    * then exact quantized scoring + top-k inside the candidate set. */
+    * then exact quantized scoring + top-k inside the candidate set.
+    *
+    * Skew: `hotSalt > 1` salts detected hot buckets (corpus bucket size >
+    * `hotThreshold`, measured by a first-pass count like SpatialJoin's
+    * adaptive mode) — probes of hot buckets take a salt from their qid,
+    * the corpus rows of hot buckets replicate xS, cold buckets pay
+    * nothing. Results are identical across salting configurations
+    * (asserted in SimilaritySpec): the candidate pair SET is unchanged,
+    * only its partitioning spreads. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, planes: Int,
-              probe1: Boolean = true): DataFrame = {
+              probe1: Boolean = true, hotSalt: Int = 1,
+              hotThreshold: Long = Long.MaxValue): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"),
       quantized(col(vecCol)).as("nv"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
@@ -138,9 +147,30 @@ object Similarity {
       else qBase.withColumn("bucket", explode(array(
         (col("qbucket") +: (0 until planes).map(j =>
           col("qbucket").bitwiseXOR(lit(1L << j)))): _*)))
+
+    val candidates =
+      if (hotSalt <= 1) probes.join(c, Seq("bucket"))
+      else {
+        val hot = c.groupBy(col("bucket")).count()
+          .where(col("count") > hotThreshold)
+          .select(col("bucket")).collect().map(r => Long.box(r.getLong(0)))
+        if (hot.isEmpty) probes.join(c, Seq("bucket"))
+        else {
+          val isHot = col("bucket").isInCollection(hot)
+          val cold = probes.where(!isHot).join(c.where(!isHot), Seq("bucket"))
+          val hotProbes = probes.where(isHot).withColumn("salt",
+            pmod(xxhash64(col("qid")), lit(hotSalt)).cast("int"))
+          val hotCorpus = c.where(isHot).withColumn("salt",
+            explode(sequence(lit(0), lit(hotSalt - 1))))
+          cold.unionByName(
+            hotProbes.join(hotCorpus.hint("merge"), Seq("bucket", "salt"))
+              .drop("salt"))
+        }
+      }
+
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
-    probes.join(c, Seq("bucket"))
+    candidates
       .where(col("qid") =!= col("nid"))
       .withColumn("score", qdot(col("qv"), col("nv")))
       .dropDuplicates("qid", "nid")

@@ -86,4 +86,23 @@ class KnnSpec extends SparkTestBase {
     info(f"LSH recall@5 = $recall%.3f over ${exactSet.size / 5} queries")
     assert(recall >= 0.25, f"recall $recall too low")
   }
+
+  test("LSH ANN: hot-bucket salting changes the plan, never the result") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    def run(hotSalt: Int, hotThreshold: Long) =
+      Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+          k = 5, dim = 64, planes = 8,
+          hotSalt = hotSalt, hotThreshold = hotThreshold)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val plain = run(1, Long.MaxValue)
+    assert(plain.nonEmpty)
+    // every bucket hot, x4 replication
+    assert(run(4, 0L) == plain)
+    // threshold so high nothing salts (the detection fast-path)
+    assert(run(4, Long.MaxValue) == plain)
+    // moderate threshold: a mix of hot and cold buckets
+    assert(run(8, 5L) == plain)
+  }
 }
