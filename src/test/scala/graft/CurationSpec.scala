@@ -30,6 +30,20 @@ class CurationSpec extends SparkTestBase {
     assert(fast2 === fast)
   }
 
+  test("packShards edges: huge budget -> one shard; single-doc langs fine") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa", 10L), (2L, "aa", 20L), (3L, "zz", 5L))
+      .toDF("doc_id", "lang", "n_tok")
+    val big = Curation.packShards(docs, "doc_id", "n_tok", "lang",
+      budget = 1000000L).collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(big === Map(1L -> 0, 2L -> 0, 3L -> 0))
+    // budget 15: lang aa doc1 starts at 0 -> shard 0, doc2 starts at 10 -> 0;
+    // with budget 10 doc2 starts at offset 10 -> shard 1
+    val tight = Curation.packShards(docs, "doc_id", "n_tok", "lang",
+      budget = 10L).collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(tight === Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   test("packShards plan: offsets broadcast, no cartesian, partial aggregation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"),

@@ -92,6 +92,22 @@ class MiniOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize parity fuzz: 150 seeded random raw titles") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', '_', '%', ':', '.', '-', '\t', 'é', 'ß', 'Ü', '中', 'ı', 'İ')
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = (0 until 150).map { _ =>
+      (Seq("en", "de", "tr", "IT ")(rnd.nextInt(4)), randStr(1 + rnd.nextInt(24)))
+    }
+    val res = ask(cases.map { case (l, r) =>
+      s"""{"op":"normalize","lang":${jsonStr(l)},"raw":${jsonStr(r)}}""" })
+    cases.zip(res).foreach { case ((l, r), line) =>
+      assert(parseText(line) == TagKey.normalize(l, r), s"$l:[$r] -> $line")
+    }
+  }
+
   test("cell encode / parent / tile parity on a lat/lon grid") {
     val pts = for {
       lat <- Seq(-89.99, -45.5, -0.01, 0.0, 33.33, 59.5, 89.99)

@@ -41,6 +41,22 @@ class WarcSpec extends SparkTestBase {
     assert(recs.head._2 == ts)
   }
 
+  test("truncated record fails loudly, bad version line fails loudly") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val good = Warc.writeBytes(Iterator(("https://a/x", ts,
+      "0123456789".getBytes(StandardCharsets.UTF_8))))
+    // chop the payload mid-record: the pull parser must throw, not emit
+    // a silent partial record
+    val truncated = good.take(good.length - 8)
+    intercept[Exception] {
+      Warc.parse(new java.io.ByteArrayInputStream(truncated)).toList
+    }
+    val garbage = "NOT-A-WARC/9.9\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    intercept[IllegalArgumentException] {
+      Warc.parse(new java.io.ByteArrayInputStream(garbage)).toList
+    }
+  }
+
   test("WARC scan feeds the flagship pipeline unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graftwarc2").toString
     val pages = Pages.synthesize(spark, 400, numPartitions = 2)
