@@ -4,7 +4,20 @@ import org.apache.spark.sql.SparkSession
 /** Driver bench contract: one JSON line with per-query wall seconds at
   * local[$SPARK_GRAFT_CPUS] on $SPARK_GRAFT_SF_DIR, plus the flagship
   * spatial-join+tiling throughput (pages/sec — the BASELINE.json metric)
-  * over a parquet pages corpus synthesized once per invocation. */
+  * over a parquet pages corpus synthesized once per invocation.
+  *
+  * Measurement protocol (round-2 verdict items 1+2):
+  * - a query that THROWS is reported in an `"errors"` map and its slot in
+  *   `"queries"` is -1 — never a flattering fast number — and it is
+  *   excluded from the suite total;
+  * - between the query loop and the flagship, SessionCaches.clear drops
+  *   every memoized/localCheckpointed block the 65-query loop accumulated
+  *   (the round-2 degraded-JVM artifact understated the flagship ~6x);
+  * - the flagship reports MIN of 3 timed reps after one warm-up (min is
+  *   the least-interference capacity estimate on this shared VM, matching
+  *   the per-query protocol), plus an in-run scan-only control
+  *   (`sum(length(html))`, no engine code) so the figure is interpretable
+  *   under host interference. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,16 +44,32 @@ object Bench {
     // interference estimate of the plan's cost, and the second rep also
     // excludes the per-query codegen compile from the figure
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+        }
       }
-      name -> math.min(once(), once())
+      (once(), once()) match {
+        case (Right(a), Right(b)) => (name, math.min(a, b), None)
+        case (Right(a), Left(e))  => (name, a, Some(e)) // flaky still flagged
+        case (Left(e), Right(b))  => (name, b, Some(e))
+        case (Left(e), Left(_))   => (name, -1.0, Some(e))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e + "\"" }
+    val errJson = errs.mkString("{", ",", "}")
+    val ok = results.filter(r => r._3.isEmpty && r._2 >= 0)
+    val total = ok.map(_._2).sum
+
+    // drop the 65-query loop's pinned checkpoint blocks + memo caches
+    // BEFORE measuring the flagship (round-2 verdict item 1)
+    graft.plans.SessionCaches.clear(spark)
 
     // flagship throughput: pages/sec through extract + geocode -> spatial
     // join -> tile aggregation over a parquet corpus (>= 128 splits,
@@ -55,12 +84,19 @@ object Bench {
       Pipeline.coverageStats(spark, pages, z = 8).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // scan-only control, measured in-run: what the box's memory/IO
+    // bandwidth gives a no-engine-code scan right now
+    def scanOnce(): Double = {
+      val t0 = System.nanoTime()
+      pages.selectExpr("sum(length(html))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     flagshipOnce() // warm-up (JIT + codegen + broadcast)
-    val secs = Seq.fill(3)(flagshipOnce()).sorted
-    val median = secs(1)
-    val pps = nPages / median
+    val flagshipSec = Seq.fill(3)(flagshipOnce()).min
+    val scanSec = Seq.fill(2)(scanOnce()).min
+    val pps = nPages / flagshipSec
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps_per_query":2,"queries":$qs,"sf":"$sfDir","flagship_pages":$nPages,"flagship_sec":$median,"flagship_pages_per_sec":$pps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps_per_query":2,"queries":$qs,"errors":$errJson,"n_failed":${errs.length},"sf":"$sfDir","flagship_pages":$nPages,"flagship_sec":$flagshipSec,"flagship_reps":3,"flagship_stat":"min","flagship_pages_per_sec":$pps,"scan_only_sec":$scanSec,"scan_only_pages_per_sec":${nPages / scanSec}}""")
     spark.stop()
   }
 }

@@ -33,6 +33,37 @@ object CellRuntime {
     while (i < n) { arr(i) = rings.getArray(i).toDoubleArray(); i += 1 }
     Geo.contains(lat, lon, arr)
   }
+
+  /** Ray cast over the PACKED ring layout (flat [lon,lat,...] vertex array
+    * + ring start offsets with a total-length sentinel): vertices are read
+    * in place from (Unsafe)ArrayData — zero allocation per candidate row,
+    * the refine-stage fix for the round-2 hot spot. The crossing test is
+    * byte-for-byte the fixed-order expression of Geo.contains, so the
+    * DuckDB oracle parity and the on-edge IEEE-754 behavior are unchanged. */
+  def pipPacked(lat: Double, lon: Double, flat: ArrayData,
+                offsets: ArrayData): Boolean = {
+    var crossings = 0
+    val nRings = offsets.numElements() - 1
+    var ri = 0
+    while (ri < nRings) {
+      val s = offsets.getInt(ri)
+      val e = offsets.getInt(ri + 1)
+      val n = (e - s) / 2
+      var i = 0
+      while (i < n) {
+        val j = if (i == n - 1) 0 else i + 1
+        val x1 = flat.getDouble(s + 2 * i); val y1 = flat.getDouble(s + 2 * i + 1)
+        val x2 = flat.getDouble(s + 2 * j); val y2 = flat.getDouble(s + 2 * j + 1)
+        if (((y1 > lat) != (y2 > lat)) &&
+            (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)) {
+          crossings += 1
+        }
+        i += 1
+      }
+      ri += 1
+    }
+    (crossings & 1) == 1
+  }
 }
 
 case class CellEncode(first: Expression, second: Expression, third: Expression)
@@ -143,6 +174,29 @@ case class PipContains(first: Expression, second: Expression, third: Expression)
       t: Expression): Expression = copy(f, s, t)
 }
 
+/** pip_packed(lat, lon, flat ARRAY<DOUBLE>, offsets ARRAY<INT>) -> BOOLEAN:
+  * exact ray cast over the packed ring layout (see CellRuntime.pipPacked).
+  * Same determinism contract as PipContains; this is the refine-path form
+  * used by SpatialJoin (reads vertices in place, no allocation). */
+case class PipContainsPacked(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pip_contains_packed"
+  override protected def nullSafeEval(lat: Any, lon: Any, flat: Any,
+                                      offsets: Any): Any =
+    CellRuntime.pipPacked(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      flat.asInstanceOf[ArrayData], offsets.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, flat, offsets) =>
+      s"graft.functions.CellRuntime.pipPacked($lat, $lon, $flat, $offsets)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
 /** Column-API surface for the expressions above. */
 object GeoFunctions {
   import ColumnBridge.{column, expression}
@@ -159,6 +213,9 @@ object GeoFunctions {
     column(CellDisk(expression(cell), expression(k)))
   def pip(lat: Column, lon: Column, rings: Column): Column =
     column(PipContains(expression(lat), expression(lon), expression(rings)))
+  def pipPacked(lat: Column, lon: Column, flat: Column, offsets: Column): Column =
+    column(PipContainsPacked(expression(lat), expression(lon),
+      expression(flat), expression(offsets)))
 
   /** Squared degree-space distance — composed from built-ins so it stays
     * in codegen and mirrors the oracle SQL op order exactly. */
@@ -179,5 +236,6 @@ object GeoFunctions {
     add("cell_ring", e => CellRing(e(0), e(1)))
     add("cell_disk", e => CellDisk(e(0), e(1)))
     add("pip_contains", e => PipContains(e(0), e(1), e(2)))
+    add("pip_contains_packed", e => PipContainsPacked(e(0), e(1), e(2), e(3)))
   }
 }

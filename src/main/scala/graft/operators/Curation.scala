@@ -63,10 +63,13 @@ object Curation {
       .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
       .drop("__ptot")
     val wLoc = Window.partitionBy(col(langCol), col("__pid")).orderBy(col(idCol))
+    // shard id by INTEGER division (DIV) on longs: exact at any cumulative
+    // token count (a double floor-divide loses exactness past 2^53 — a
+    // cliff this pipeline never needs to carry); offsets are non-negative
+    // so DIV == floor division. The oracle mirrors with DuckDB `//`.
     parted.join(broadcast(offsets), Seq(langCol, "__pid"))
       .withColumn("__cum", sum(col("__tok")).over(wLoc) + col("__off"))
       .select(col(idCol), col(langCol), col("__tok").as("n_tokens"),
-        floor((col("__cum") - col("__tok")) / lit(budget.toDouble)).cast("int")
-          .as("shard"))
+        expr(s"CAST((__cum - __tok) DIV ${budget}L AS INT)").as("shard"))
   }
 }

@@ -125,14 +125,20 @@ object Dedup {
     * per cluster" assignment downstream of any pair generator (LSH,
     * rolling-hash, embedding buckets).
     *
-    * Scale shape: each round is two equi-joins + a min-aggregation, all
-    * keyed on node id (bucket-local shuffles, map-side partial min);
-    * rounds = O(component diameter), and near-dup components are shallow
-    * (dup clusters are cliques or stars from a shared bucket, diameter
-    * 1-2), so 3-4 rounds converge in practice. Labels are checkpointed per
-    * round to keep lineage flat. Deterministic: min is order-independent.
-    * Nodes absent from `pairs` are singletons and simply don't appear —
-    * union them in as (id, id) if a total assignment is needed. */
+    * Scale shape: each round is (a) one edge-propagation step — two
+    * equi-joins + a min-aggregation, all keyed on node id (bucket-local
+    * shuffles, map-side partial min) — and (b) one POINTER-JUMP step
+    * (labels joined to labels: rep' = min(rep, label(rep))), which halves
+    * the remaining label-chain depth, so convergence is O(log diameter)
+    * rounds rather than O(diameter): an adversarial chained-template
+    * corpus (a path of length 2^k through shared buckets) converges in
+    * ~k rounds instead of crashing into maxIters (property-tested on a
+    * 300-node chain). Near-dup components are usually shallow (cliques or
+    * stars from a shared bucket, diameter 1-2) and converge in 2-3 rounds.
+    * Labels are checkpointed per round to keep lineage flat.
+    * Deterministic: min is order-independent. Nodes absent from `pairs`
+    * are singletons and simply don't appear — union them in as (id, id)
+    * if a total assignment is needed. */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // duplicate edges are harmless to min-propagation (min is idempotent),
     // so no distinct pass is spent on the edge list
@@ -157,14 +163,28 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrRep = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("rep")).as("nrep"))
-      val next = labels.join(nbrRep, labels("id") === nbrRep("nid"), "left")
+      // materialized once: prop feeds BOTH sides of the jump join below
+      val prop = labels.join(nbrRep, labels("id") === nbrRep("nid"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      // pointer jump: shortcut each label through its representative's own
+      // label (rep' = min(rep, label(rep))). One extra keyed equi-join per
+      // round buys exponential chain compression — the large-star move of
+      // the classic CC-over-MapReduce algorithms. Every rep IS a node id
+      // present in `labels` (it is the min over edge endpoints, and both
+      // endpoint directions were unioned into src), so the left join only
+      // misses nothing; coalesce guards the empty-frame edge case.
+      val jumped = prop.join(
+          prop.select(col("id").as("__rid"), col("rep").as("__rrep")),
+          col("rep") === col("__rid"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("__rrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(jumped)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels = next
+      labels = jumped
       iter += 1
     }
     require(converged, s"clusters did not converge in $maxIters rounds")

@@ -68,18 +68,21 @@ object Knn {
       .withColumn("pcell", GeoFunctions.cellEncode($"__plat", $"__plon", lit(indexRes)))
 
     var unresolved = pts
-    var acc: DataFrame = null
+    val resolvedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var n = 1
     var round = 0
+    // pending key count: tracked arithmetically from the per-round resolved
+    // counts, so the loop condition costs no extra Spark action. Initialized
+    // lazily by the first round's doneKeys job chain (see below).
+    var pending = -1L
     val w = Window.partitionBy($"__k").orderBy($"d2", $"__fid")
 
-    while (round < maxRounds && !unresolved.isEmpty) {
+    while (round < maxRounds && pending != 0L) {
       val idxSide = if (broadcastIndex) fIdx.hint("broadcast")
                     else fIdx.hint("merge") // sort-merge, both sides shuffle on cell
-      // checkpoint: candidates feed three consumers per round (stats, the
-      // resolved accumulator, the unresolved anti-join) — materialize the
-      // expensive explode+join+window once instead of recomputing it per
-      // consumer lineage
+      // checkpoint: candidates feed two consumers per round (the done-key
+      // derivation and the resolved slice) — materialize the expensive
+      // explode+join+window once instead of recomputing it per consumer
       val candidates = unresolved
         .withColumn("probe", explode(GeoFunctions.cellDisk($"pcell", lit(n))))
         .join(idxSide, $"probe" === idxSide("fcell"))
@@ -94,22 +97,29 @@ object Knn {
       // at distance n*minDim can sit just outside disk(n) with a smaller
       // fid; a distance tie on the boundary must force one more expansion
       // round or the (d2, fid) tie-break could miss the unprobed feature.
-      val stats = candidates.groupBy($"__k")
+      // doneKeys is the ONE derived frame both consumers share (round-2
+      // review item: one checkpointed frame feeds resolved + unresolved, no
+      // separate isEmpty action); it is tiny (<= one row per unresolved key).
+      val doneKeys = candidates.groupBy($"__k")
         .agg(count("*").as("__cnt"), max($"d2").as("__dmax"))
-        .withColumn("__done",
-          lit(full) || ($"__cnt" === k && $"__dmax" < guarantee * guarantee))
+        .where(lit(full) || ($"__cnt" === k && $"__dmax" < guarantee * guarantee))
+        .select("__k")
+        .localCheckpoint(true)
 
-      val resolvedNow = candidates.join(
-        stats.where($"__done").select("__k"), "__k")
-      acc = if (acc == null) resolvedNow.localCheckpoint(true)
-            else acc.union(resolvedNow).localCheckpoint(true)
-      unresolved = unresolved.join(
-        stats.where($"__done").select("__k"), Seq("__k"), "left_anti")
+      // resolved slice: cheap lineage over two checkpointed frames — no
+      // per-round accumulator checkpoint (round 2 re-checkpointed the
+      // GROWING union every round); the final union is one plan at the end
+      resolvedParts += candidates.join(doneKeys, "__k")
+
+      if (pending < 0L) pending = unresolved.count() // first round only
+      pending -= doneKeys.count() // cheap: count over a checkpointed frame
+      unresolved = unresolved.join(doneKeys, Seq("__k"), "left_anti")
         .localCheckpoint(true)
       n = n * 2
       round += 1
     }
-    require(unresolved.isEmpty, s"kNN did not converge in $maxRounds rounds")
+    require(pending == 0L, s"kNN did not converge in $maxRounds rounds")
+    val acc = resolvedParts.reduce(_ union _)
     acc.select($"__k".as(keyCol), $"rank", $"__fid".as(fidCol), $"d2")
   }
 

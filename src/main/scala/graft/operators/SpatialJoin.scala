@@ -27,6 +27,12 @@ object SpatialJoin {
   sealed trait Mode
   case object Broadcast extends Mode
   case object Shuffle extends Mode
+  /** Size-based pick between Broadcast and Shuffle, mirroring Knn.Auto: the
+    * cover's cell count is already on the driver (CoverSides.cellIds), so
+    * the decision costs zero Spark jobs. At 100x a grown polygon-cover side
+    * silently outgrows broadcast — Auto keeps the caller's plan valid
+    * instead of OOMing every executor. */
+  final case class Auto(maxBroadcastCells: Long = 2000000L) extends Mode
   /** Shuffle with salted keys: points add pmod(xxhash64(key), s), the cover
     * side is replicated s times (SURVEY.md §2.C6 skewed mega-cells). */
   final case class ShuffleSalted(s: Int) extends Mode
@@ -45,6 +51,12 @@ object SpatialJoin {
     *            (24 bytes/row, NOT rings duplicated 27k times);
     * `parts`  — one row per polygon part carrying rings + bbox, joined to
     *            candidates only (a second, trivially small broadcast).
+    *            Rings ship PACKED: one flat ARRAY<DOUBLE> of
+    *            [lon,lat,lon,lat,...] for all rings plus an ARRAY<INT> of
+    *            ring start offsets (+ total length sentinel) — the PIP
+    *            refine reads vertices in place from UnsafeArrayData with
+    *            zero per-candidate allocation (vs materializing
+    *            Array[Array[Double]] per row, the round-2 refine hot spot).
     * Computed driver-side (the polygon set is the small dimension; at
     * production scale this is a one-off distributed enrichment job over
     * the polygon table). Memoized per polygon set + resolution. */
@@ -58,23 +70,43 @@ object SpatialJoin {
   private def contentKey(parts: Seq[Polygons.PolyPart]): Seq[(Long, Int, Seq[Double])] =
     parts.map(p => (p.regionId, p.part, p.rings.flatten.toSeq))
 
+  /** Memo entry cap: the cache holds driver-side cover-cell lists (tens of
+    * KB each); a long-lived session cycling through many polygon sets must
+    * not grow it unboundedly. Eviction is whole-cache (entries are cheap to
+    * recompute and eviction is a cold-path event). */
+  final val CoverCacheMax = 16
+
   private val coverCache =
     new java.util.concurrent.ConcurrentHashMap[
       (Seq[(Long, Int, Seq[Double])], Int, Int), Seq[(Long, Long, Int)]]()
+
+  /** Drop all memoized covers (bench hygiene between query families / before
+    * the flagship measurement; see plans.SessionCaches). */
+  def clearCoverCache(): Unit = coverCache.clear()
+
+  /** Visible for the eviction test. */
+  private[graft] def coverCacheSize: Int = coverCache.size()
 
   def coverDF(spark: SparkSession, parts: Seq[Polygons.PolyPart] = Polygons.all,
               rMin: Int = RMin, rMax: Int = RMax): CoverSides = {
     import spark.implicits._
     val key = (contentKey(parts), rMin, rMax)
+    if (coverCache.size() >= CoverCacheMax && !coverCache.containsKey(key))
+      coverCache.clear()
     val cellRows = coverCache.computeIfAbsent(key, _ =>
       parts.flatMap { p =>
         Geo.cover(p.rings, rMin, rMax).map(cell => (cell, p.regionId, p.part))
       })
-    val partRows = parts.map(p => (p.regionId, p.part,
-      p.rings.map(_.toSeq).toSeq, p.latMin, p.latMax, p.lonMin, p.lonMax))
+    // packed rings: flat vertex array + ring offsets (see CoverSides doc)
+    val partRows = parts.map { p =>
+      val flat = p.rings.flatten
+      val offsets = p.rings.scanLeft(0)(_ + _.length)
+      (p.regionId, p.part, flat.toSeq, offsets.toSeq,
+        p.latMin, p.latMax, p.lonMin, p.lonMax)
+    }
     CoverSides(
       cellRows.toDF("cell", "region_id", "part"),
-      partRows.toDF("region_id", "part", "rings",
+      partRows.toDF("region_id", "part", "rings_flat", "ring_offsets",
         "lat_min", "lat_max", "lon_min", "lon_max"),
       cellRows.map(_._1).toArray)
   }
@@ -88,8 +120,16 @@ object SpatialJoin {
     * a downstream distinct/groupBy), saving one full shuffle. Duplicates
     * only arise for multi-part regions (a point in two parts of one
     * region). */
+  /** Auto -> Broadcast | Shuffle by cover size; pass-through otherwise.
+    * Driver-side only (cellIds is already local), zero Spark jobs. */
+  def resolveMode(mode: Mode, cover: CoverSides): Mode = mode match {
+    case Auto(maxCells) =>
+      if (cover.cellIds.length <= maxCells) Broadcast else Shuffle
+    case m => m
+  }
+
   def assign(points: DataFrame, keyCol: String, cover: CoverSides,
-             mode: Mode = Broadcast,
+             mode: Mode = Auto(),
              rMin: Int = RMin, rMax: Int = RMax,
              dedup: Boolean = true): DataFrame = {
     import points.sparkSession.implicits._
@@ -107,7 +147,8 @@ object SpatialJoin {
       explode(array((rMin to rMax).map(r =>
         GeoFunctions.cellParent($"cell_rmax", lit(r))): _*)))
 
-    val candidates = mode match {
+    val candidates = resolveMode(mode, cover) match {
+      case Auto(_) => throw new IllegalStateException("Auto resolved above")
       case Broadcast =>
         probes.join(broadcast(cover.cells), "cell")
       case Shuffle =>
@@ -140,16 +181,19 @@ object SpatialJoin {
         }
     }
 
-    // refine only candidates: tiny (region,part)->rings dim broadcast
+    // refine only candidates: tiny (region,part)->rings dim broadcast;
+    // PIP reads the packed vertex array in place (no per-row allocation)
     val refined = candidates
       .join(broadcast(cover.parts), Seq("region_id", "part"))
       .where($"lat" >= $"lat_min" && $"lat" <= $"lat_max" &&
              $"lon" >= $"lon_min" && $"lon" <= $"lon_max")
-      .where(GeoFunctions.pip($"lat", $"lon", $"rings"))
+      .where(GeoFunctions.pipPacked($"lat", $"lon",
+        $"rings_flat", $"ring_offsets"))
 
     // a region can match via several parts; compact cover cells are
     // disjoint so per part there is at most one candidate row
-    val out = refined.drop("cell", "cell_rmax", "part", "rings",
+    val out = refined.drop("cell", "cell_rmax", "part",
+      "rings_flat", "ring_offsets",
       "lat_min", "lat_max", "lon_min", "lon_max")
     if (dedup) out.dropDuplicates(keyCol, "region_id") else out
   }

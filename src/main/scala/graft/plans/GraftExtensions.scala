@@ -66,6 +66,8 @@ object GraftExtensions {
     ext.injectFunction(fn("cell_tile_x", e => CellTileX(e.head)))
     ext.injectFunction(fn("cell_tile_y", e => CellTileY(e.head)))
     ext.injectFunction(fn("pip_contains", e => PipContains(e(0), e(1), e(2))))
+    ext.injectFunction(fn("pip_contains_packed",
+      e => PipContainsPacked(e(0), e(1), e(2), e(3))))
     ext.injectFunction(fn("rolling_min_sketch", e => RollingMinSketch(e(0),
       intLit(e(1), "rolling_min_sketch.w"), intLit(e(2), "rolling_min_sketch.k"))))
     ext.injectFunction(fn("rolling_min_fp", e => RollingMinFingerprint(e(0),

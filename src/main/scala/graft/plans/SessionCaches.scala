@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session cache hygiene for long-lived JVMs (the round-2 finding: after a
+ * 64-query bench loop, accumulated localCheckpoint blocks pinned by the
+ * fixture/operator memos degraded the flagship measurement ~6x vs a fresh
+ * JVM). One call drops every engine memo AND sweeps every persistent RDD —
+ * including checkpoint blocks whose owning DataFrames are no longer
+ * reachable (localCheckpoint pins blocks until GC + ContextCleaner get to
+ * them, which inside one measurement window is "never").
+ *
+ * Used by graft.Bench between the query loop and the flagship measurement;
+ * call it in any long-lived session between unrelated workloads.
+ */
+object SessionCaches {
+
+  def clear(spark: SparkSession): Unit = {
+    graft.queries.TextFixtures.clearMemo()
+    graft.operators.SpatialJoin.clearCoverCache()
+    spark.sharedState.cacheManager.clearCache()
+    // the sweep: every persisted/locally-checkpointed RDD still registered
+    // with the context, regardless of who created it
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}

@@ -35,7 +35,7 @@ object CurationQueries {
         |c AS (SELECT doc_id, lang, n,
         |  sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
         |SELECT doc_id, lang, n AS n_tokens,
-        |  CAST(floor((cum - n) / 2000.0) AS INT) AS shard
+        |  CAST((cum - n) // 2000 AS INT) AS shard
         |FROM c""".stripMargin) { (s, d) =>
       // two-phase distributed cumsum == the one-window SQL semantics
       val docs = s.read.parquet(s"$d/documents.parquet")
@@ -67,6 +67,40 @@ object CurationQueries {
       graft.operators.Profile.profile(
         s.read.parquet(s"$d/events.parquet"),
         Seq("event_id", "user_id", "event_type"))
+    },
+
+    QueryDef.sql("q_prof_events_approx", {
+      // DuckDB mirror of Profile.profileApprox (k=16): per column, the KMV
+      // sketch is the 16 smallest distinct md5s; the estimate parses the
+      // 16th minimum's first 15 hex digits (60 bits, exact BIGINT) and
+      // divides in the same order as Profile.kmvEstimate, so the DOUBLE is
+      // bit-identical
+      val k = 16
+      def nibbleSum(hExpr: String): String =
+        (0 until 15).map { i =>
+          s"(strpos('0123456789abcdef', substr($hExpr, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}"
+        }.mkString("(", " + ", ")")
+      def ctes(c: String): String =
+        s"""h_$c AS (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h FROM events WHERE $c IS NOT NULL),
+           |r_$c AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h_$c),
+           |est_$c AS (SELECT CASE WHEN (SELECT count(*) FROM r_$c) < $k THEN CAST((SELECT count(*) FROM r_$c) AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) / (CAST((SELECT ${nibbleSum("h")} FROM r_$c WHERE rn = $k) AS DOUBLE) / CAST(${1L << 60} AS DOUBLE)) END AS est)""".stripMargin
+      def row(c: String, castMinMax: Boolean): String = {
+        val mn = if (castMinMax) s"CAST(min($c) AS VARCHAR)" else s"min($c)"
+        val mx = if (castMinMax) s"CAST(max($c) AS VARCHAR)" else s"max($c)"
+        s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n, CAST(count(*) - count($c) AS BIGINT) AS n_null, (SELECT est FROM est_$c) AS n_distinct_est, $mn AS min_str, $mx AS max_str FROM events"""
+      }
+      s"""WITH ${ctes("event_id")},
+         |${ctes("user_id")},
+         |${ctes("event_type")}
+         |${row("event_id", castMinMax = true)}
+         |UNION ALL ${row("user_id", castMinMax = true)}
+         |UNION ALL ${row("event_type", castMinMax = false)}""".stripMargin
+    }) { (s, d) =>
+      // the 100-TB profiler variant: KMV sketch in the n_distinct slot —
+      // no Expand multiplication, deterministic estimate, full oracle
+      graft.operators.Profile.profileApprox(
+        s.read.parquet(s"$d/events.parquet"),
+        Seq("event_id", "user_id", "event_type"), k = 16)
     },
 
     QueryDef.sql("q_agg_kmv",

@@ -13,6 +13,14 @@ import graft.operators.Multimodal
  * the mapPartitions batch path itself gets a rows+schema+hash oracle, not
  * just a spec. The codec stays stubbed (sandbox has no image/audio libs);
  * what's verified is the real Spark-side plumbing around it.
+ *
+ * ASCII-ONLY ORACLE ASSUMPTION (all four queries): the engine operates on
+ * UTF-8 BYTES of the payload while the DuckDB oracles index CHARACTERS
+ * (unicode(ch), substr, len(text)) — the two agree iff every text byte is
+ * single-byte ASCII. The documents fixture satisfies this (every lang's
+ * text is ASCII, including lang='zh' rows) and MultimodalSpec asserts it
+ * against the driver testdata, so a future fixture change fails loudly in
+ * the suite instead of silently desyncing the oracle.
  */
 object MultimodalQueries {
 

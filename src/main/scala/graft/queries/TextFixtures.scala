@@ -12,7 +12,7 @@ import graft.operators.Dedup
   * materialized banded MinHash keys — four queries (pairs, overflow,
   * ngram verification, clusters) consume the same signatures, and a
   * production pipeline computes them once, so the registry does too. */
-private[queries] object TextFixtures {
+private[graft] object TextFixtures {
 
   /** documents + injected duplicates, engine side. */
   def dupDocs(s: SparkSession, d: String): DataFrame = {
@@ -49,14 +49,36 @@ private[queries] object TextFixtures {
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sigs)""".stripMargin
 
+  /** Memo entry cap: each entry PINS a localCheckpointed frame's blocks for
+    * the session lifetime — a long-lived session cycling many (session,
+    * dir) keys must not accumulate them (the round-2 degraded-bench-JVM
+    * contributor). Whole-cache eviction on overflow; evicted RDD blocks are
+    * unpersisted eagerly, not left to GC. */
+  private[graft] final val BandedCacheMax = 4
+
   private val bandedCache =
     new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Materialized banded keys of dupDocs(d), computed once per (session,
     * dir): the checkpointed frame is already session-bound, so the memo
     * key is too. */
-  def bandedCached(s: SparkSession, d: String): DataFrame =
+  def bandedCached(s: SparkSession, d: String): DataFrame = {
+    if (bandedCache.size() >= BandedCacheMax && !bandedCache.containsKey((s, d)))
+      clearMemo()
     bandedCache.computeIfAbsent((s, d), _ =>
       Dedup.minhashBanded(dupDocs(s, d), "doc_id", "text",
         w = 3, numHashes = 4, rowsPerBand = 2))
+  }
+
+  /** Drop all memoized frames and unpersist their checkpoint blocks (bench
+    * hygiene; see plans.SessionCaches). */
+  private[graft] def clearMemo(): Unit = {
+    bandedCache.values.forEach { df =>
+      try df.queryExecution.toRdd.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+    }
+    bandedCache.clear()
+  }
+
+  private[graft] def memoSize: Int = bandedCache.size()
 }

@@ -89,6 +89,7 @@ object Warc {
         var h = readLine()
         while (h.nonEmpty) {
           val i = h.indexOf(':')
+          require(i > 0, s"malformed WARC header line (no ':'): $h")
           val (k, v) = (h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
             h.substring(i + 1).trim)
           k match {
@@ -102,6 +103,11 @@ object Warc {
           h = readLine()
         }
         require(len >= 0, "WARC record without Content-Length")
+        // a JVM byte[] tops out at Int.MaxValue; a silently truncated
+        // len.toInt would read the wrong payload size (or crash on a
+        // negative array) — fail loudly with the offending length instead
+        require(len <= Int.MaxValue - 8,
+          s"WARC Content-Length $len exceeds the JVM array limit")
         val payload = new Array[Byte](len.toInt)
         din.readFully(payload)
         if (wtype == "response") nextRec = (url, ts, payload)

@@ -7,6 +7,45 @@ import graft.operators.Curation
 
 class CurationSpec extends SparkTestBase {
 
+  test("profileApprox: KMV estimate slot matches KmvSketch.estimate bitwise") {
+    import graft.functions.KmvSketch
+    import graft.operators.Profile
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val k = 16
+    val cols = Seq("event_id", "user_id", "event_type")
+    val got = Profile.profileApprox(df, cols, k).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    cols.foreach { c =>
+      // reference sketch: the k smallest distinct md5s, computed naively
+      val sketch = df.where(col(c).isNotNull)
+        .select(md5(col(c).cast("string")).as("h")).distinct()
+        .orderBy("h").limit(k).collect().map(_.getString(0)).toSeq
+      assert(got(c) == KmvSketch.estimate(sketch, k), c) // bit-identical
+    }
+    // shape parity with the exact profiler (n, n_null, min/max unchanged)
+    val exact = Profile.profile(df, cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5))).toMap
+    Profile.profileApprox(df, cols, k).collect().foreach { r =>
+      val (n, nNull, mn, mx) = exact(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nNull &&
+        r.getString(4) == mn && r.getString(5) == mx)
+    }
+  }
+
+  test("packShards shard ids are integer-exact and match floor semantics") {
+    import spark.implicits._
+    // offsets straddling several budget boundaries, incl. a doc exactly ON
+    // a boundary (starts shard n, not n-1: assignment is by START offset)
+    val docs = Seq((1L, "x", 700L), (2L, "x", 300L), (3L, "x", 500L),
+      (4L, "x", 1L), (5L, "x", 1499L), (6L, "x", 1L))
+      .toDF("doc_id", "lang", "n_tok")
+    val got = Curation.packShards(docs, "doc_id", "n_tok", "lang", budget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // starts: 0, 700, 1000, 1500, 1501, 3000
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 3))
+  }
+
   test("packShards two-phase cumsum == naive single-window semantics") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"),

@@ -91,6 +91,21 @@ class DedupSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("clusters: adversarial 300-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for plain min-label propagation
+    // (rounds = diameter); the pointer-jump step must compress it to
+    // O(log n) rounds — 300 nodes would need 300 plain rounds, far past
+    // maxIters=20, while ceil(log2(300)) + change fits comfortably
+    val n = 300
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(chain, maxIters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "every chain node labels to the min id")
+  }
+
   test("clusters of an empty pair set is empty (no NPE on the null sum)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

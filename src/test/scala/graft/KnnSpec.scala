@@ -7,6 +7,40 @@ import graft.sources.GeoFixtures
 
 class KnnSpec extends SparkTestBase {
 
+  test("kNN expansion rounds are action-frugal (fused done-key derivation)") {
+    import spark.implicits._
+    // two controlled workloads whose ROUND COUNTS are known by construction
+    // (indexRes=7 -> minDim = 180/128 = 1.40625 deg):
+    //  - near: feature on top of the point -> resolves at n=1 (1 round)
+    //  - far:  feature 20 deg away -> needs disk(16) AND 20 < 16*minDim,
+    //          so rounds n=1,2,4,8,16 (5 rounds)
+    // the per-round Spark-job slope must stay small: the round-2 loop spent
+    // an isEmpty action + a re-checkpoint of the GROWING accumulator per
+    // round; the fused loop runs a bounded set of per-round jobs.
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    val pt = Seq((1L, 0.0, 0.0)).toDF("k", "lat", "lon")
+    def feats(latF: Double) = Seq((7L, latF, 0.0)).toDF("fid", "lat", "lon")
+    def run(latF: Double): Int = countJobs {
+      val r = Knn.nearest(pt, "k", feats(latF), "fid", k = 1,
+        mode = Knn.Broadcast).collect()
+      assert(r.length == 1)
+    }
+    val near = run(0.0)   // 1 round
+    val far = run(20.0)   // 5 rounds
+    val slope = (far - near) / 4.0
+    assert(slope <= 8.0, s"jobs/round slope $slope (near=$near far=$far)")
+  }
+
   test("ring-expansion kNN equals brute force (k=3, deterministic ties)") {
     val pts = GeoFixtures.points(spark, sfDir).where(col("k") % 10 === 0)
     val feats = GeoFixtures.features(spark, sfDir)

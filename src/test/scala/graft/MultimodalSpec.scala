@@ -99,4 +99,17 @@ class MultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("documents fixture is ASCII-only (the q_mm_* oracle contract)") {
+    // the q_mm_* DuckDB oracles index CHARACTERS while the engine indexes
+    // UTF-8 BYTES; they agree iff the fixture text is pure ASCII. Guard the
+    // assumption at both driver scales so a fixture change fails HERE, not
+    // as a silent oracle desync (MultimodalQueries scaladoc).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = spark.read.parquet(s"$d/documents.parquet")
+        .where(expr("length(text) != octet_length(text)"))
+        .count()
+      assert(nonAscii == 0L, s"$d/documents has non-ASCII text rows")
+    }
+  }
 }

@@ -57,6 +57,27 @@ class PipelineSpec extends SparkTestBase {
     assert(run(SpatialJoin.ShuffleSaltedAdaptive(8, hotThreshold = 50)) == b)
     // threshold above every count: pure cold path
     assert(run(SpatialJoin.ShuffleSaltedAdaptive(8, hotThreshold = 1000000)) == b)
+    // Auto on both sides of its threshold: same rows either way
+    assert(run(SpatialJoin.Auto()) == b)
+    assert(run(SpatialJoin.Auto(maxBroadcastCells = 1)) == b)
+  }
+
+  test("Auto mode picks Broadcast for a small cover, Shuffle past the cap") {
+    val cover = SpatialJoin.coverDF(spark)
+    assert(cover.cellIds.length > 1)
+    // default cap: the fixture cover is tiny -> broadcast
+    assert(SpatialJoin.resolveMode(SpatialJoin.Auto(), cover) ==
+      SpatialJoin.Broadcast)
+    // a cover larger than the cap flips the decision to shuffle — the
+    // 100x-grown-cover path must not OOM-broadcast
+    assert(SpatialJoin.resolveMode(
+      SpatialJoin.Auto(maxBroadcastCells = cover.cellIds.length - 1), cover) ==
+      SpatialJoin.Shuffle)
+    // explicit modes pass through untouched
+    assert(SpatialJoin.resolveMode(SpatialJoin.Shuffle, cover) ==
+      SpatialJoin.Shuffle)
+    assert(SpatialJoin.resolveMode(SpatialJoin.ShuffleSalted(4), cover) ==
+      SpatialJoin.ShuffleSalted(4))
   }
 
   test("spatial join output is unique per (key, region)") {

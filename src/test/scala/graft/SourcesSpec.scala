@@ -129,4 +129,48 @@ class SourcesSpec extends SparkTestBase {
       .collect()(0).getSeq[String](1)
     assert(sk.length == 10 && KmvSketch.estimate(sk, 64) == 10.0)
   }
+
+  test("Iceberg seam: format=iceberg is a config swap, absent jar fails named") {
+    // production mandates an Iceberg table (BASELINE.json input_hint); the
+    // sandbox has no iceberg-spark-runtime jar, so the read must fail with
+    // the data source NAMED — documenting that the production shape is the
+    // one-line `format` argument, not a refactor
+    val e = intercept[Exception] {
+      graft.sources.Pages.read(spark, "/tmp/nonexistent", format = "iceberg")
+        .count()
+    }
+    val msg = e.toString.toLowerCase(java.util.Locale.ROOT)
+    assert(msg.contains("iceberg"), s"error does not name iceberg: $msg")
+  }
+
+  test("cover memo cache is bounded: overflow evicts instead of growing") {
+    import graft.operators.SpatialJoin
+    SpatialJoin.clearCoverCache()
+    assert(SpatialJoin.coverCacheSize == 0)
+    val base = Polygons.all
+    // distinct polygon CONTENTS (shifted quads) -> distinct memo keys
+    def shifted(i: Int) = base.map(p => p.copy(
+      rings = p.rings.map(_.map(_ + i * 1e-9))))
+    (0 until SpatialJoin.CoverCacheMax + 3).foreach { i =>
+      SpatialJoin.coverDF(spark, shifted(i), rMin = 7, rMax = 8)
+      assert(SpatialJoin.coverCacheSize <= SpatialJoin.CoverCacheMax)
+    }
+    SpatialJoin.clearCoverCache()
+    assert(SpatialJoin.coverCacheSize == 0)
+  }
+
+  test("banded-minhash memo is bounded and clearable") {
+    import graft.queries.TextFixtures
+    TextFixtures.clearMemo()
+    // same dir repeatedly -> one entry, memo hit returns the same frame
+    val a = TextFixtures.bandedCached(spark, sfDir)
+    val b = TextFixtures.bandedCached(spark, sfDir)
+    assert(a eq b)
+    assert(TextFixtures.memoSize == 1)
+    TextFixtures.clearMemo()
+    assert(TextFixtures.memoSize == 0)
+    // cleared memo recomputes, same content
+    val c = TextFixtures.bandedCached(spark, sfDir)
+    assert(c.count() == a.count())
+  }
 }

@@ -57,6 +57,27 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("malformed header line (no colon) and oversize Content-Length fail loudly") {
+    // a header line without ':' used to throw a raw
+    // StringIndexOutOfBoundsException from substring(0, -1); it must be a
+    // diagnosable require instead
+    val noColon = ("WARC/1.0\r\nWARC-Type response\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.parse(new java.io.ByteArrayInputStream(noColon)).toList
+    }
+    assert(e1.getMessage.contains("malformed WARC header"))
+    // Content-Length past the JVM array limit must not silently truncate
+    // via len.toInt (wrong payload size or negative-array crash)
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${Int.MaxValue.toLong + 10}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.parse(new java.io.ByteArrayInputStream(huge)).toList
+    }
+    assert(e2.getMessage.contains("exceeds the JVM array limit"))
+  }
+
   test("WARC scan feeds the flagship pipeline unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graftwarc2").toString
     val pages = Pages.synthesize(spark, 400, numPartitions = 2)

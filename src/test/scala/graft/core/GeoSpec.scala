@@ -131,4 +131,24 @@ class GeoSpec extends AnyFunSuite with PropHelpers {
       assert(Geo.d2(lat, lon, 0.0, 0.0) == Geo.d2(0.0, 0.0, lat, lon))
     }
   }
+
+  test("packed-ring pip == nested pip on fixtures and random points") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def packedPip(lat: Double, lon: Double, rings: Array[Array[Double]]) = {
+      val flat = new GenericArrayData(rings.flatten)
+      val offsets = new GenericArrayData(rings.scanLeft(0)(_ + _.length))
+      graft.functions.CellRuntime.pipPacked(lat, lon, flat, offsets)
+    }
+    val coord = Gen.chooseNum(-85.0, 85.0)
+    val lonG = Gen.chooseNum(-180.0, 180.0)
+    // fixture polygons (incl. the holed + multi-part ones) on random points:
+    // the packed layout must be BIT-identical to the nested one — same
+    // fixed-order crossing test, just a different vertex container
+    forAll(Gen.zip(coord, lonG)) { case (lat, lon) =>
+      Polygons.all.foreach { p =>
+        assert(packedPip(lat, lon, p.rings) == Geo.contains(lat, lon, p.rings),
+          s"${p.name} at ($lat, $lon)")
+      }
+    }
+  }
 }
