@@ -88,6 +88,33 @@ object TextExtract {
     sb.toString
   }
 
+  /** Replacement text for an entity body ("amp", "#233", "#x2F", ...), or
+    * null when the body is not one of the 5 core entities / a strictly-
+    * digits numeric reference (no '+'/'-' sign, no underscores, no
+    * whitespace) — same rule as the mini-oracle, so the two
+    * implementations can never disagree on exotic input. */
+  private def entityReplacement(body: String): String = body match {
+    case "amp" => "&"
+    case "lt" => "<"
+    case "gt" => ">"
+    case "quot" => "\""
+    case _ if body.startsWith("#x") || body.startsWith("#X") =>
+      val digits = body.substring(2)
+      if (digits.nonEmpty && digits.forall(ch =>
+            (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+            (ch >= 'A' && ch <= 'F')))
+        try new String(Character.toChars(Integer.parseInt(digits, 16)))
+        catch { case _: Exception => null }
+      else null
+    case _ if body.startsWith("#") =>
+      val digits = body.substring(1)
+      if (digits.nonEmpty && digits.forall(ch => ch >= '0' && ch <= '9'))
+        try new String(Character.toChars(Integer.parseInt(digits)))
+        catch { case _: Exception => null }
+      else null
+    case _ => null
+  }
+
   /** Pass 2: entity decode + whitespace collapse + trim, fused. */
   private def decodeAndCollapse(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -111,37 +138,56 @@ object TextExtract {
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
-          val body = s.substring(i + 1, semi)
-          val rep = body match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            // strictly-digits entity bodies only (no '+'/'-' sign, no
-            // underscores, no whitespace) — same rule as the mini-oracle,
-            // so the two implementations can never disagree on exotic input
-            case _ if body.startsWith("#x") || body.startsWith("#X") =>
-              val digits = body.substring(2)
-              if (digits.nonEmpty && digits.forall(ch =>
-                    (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
-                    (ch >= 'A' && ch <= 'F')))
-                try new String(Character.toChars(Integer.parseInt(digits, 16)))
-                catch { case _: Exception => null }
-              else null
-            case _ if body.startsWith("#") =>
-              val digits = body.substring(1)
-              if (digits.nonEmpty && digits.forall(ch => ch >= '0' && ch <= '9'))
-                try new String(Character.toChars(Integer.parseInt(digits)))
-                catch { case _: Exception => null }
-              else null
-            case _ => null
-          }
+          val rep = entityReplacement(s.substring(i + 1, semi))
           if (rep != null) { emit(rep); i = semi + 1 }
           else { emitChar(c); i += 1 }
         } else { emitChar(c); i += 1 }
       } else { emitChar(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** countWsTokens(extract(html)) WITHOUT materializing the extracted
+    * string: the extracted text joins tokens with single spaces, so tokens
+    * = pendingSpace flushes + 1 — the counting loop mirrors
+    * decodeAndCollapse's emit logic (shared entityReplacement) minus both
+    * the output StringBuilder and the String->UTF8String re-encode. This is
+    * the flagship's token path (the coverage job derives ONLY a count from
+    * the extracted text); equality with the two-step form is property-
+    * tested in TextSpec, and the TokenCountWs(ExtractText(_)) rewrite in
+    * GraftExtensions applies it plan-wide. */
+  def extractTokenCount(html: Array[Byte]): Int =
+    countTokensFromString(new String(html, StandardCharsets.UTF_8))
+
+  def countTokensFromString(raw: String): Int = {
+    val s = stripTags(raw)
+    var spaces = 0
+    var pendingSpace = false
+    var started = false
+    @inline def emit(str: String): Unit = {
+      var k = 0
+      while (k < str.length) { emitChar(str.charAt(k)); k += 1 }
+    }
+    @inline def emitChar(c: Char): Unit = {
+      if (Character.isWhitespace(c)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { spaces += 1; pendingSpace = false }
+        started = true
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val rep = entityReplacement(s.substring(i + 1, semi))
+          if (rep != null) { emit(rep); i = semi + 1 }
+          else { emitChar(c); i += 1 }
+        } else { emitChar(c); i += 1 }
+      } else { emitChar(c); i += 1 }
+    }
+    spaces + 1
   }
 
   /** Tokens separated by a single space, counting empty segments — exact

@@ -39,6 +39,8 @@ object TextRuntime {
     geoMemo(html) match { case Some((lat, _)) => lat; case None => null }
   def geoLon(html: Array[Byte]): java.lang.Double =
     geoMemo(html) match { case Some((_, lon)) => lon; case None => null }
+  def extractTokenCount(html: Array[Byte]): Int =
+    TextExtract.extractTokenCount(html)
   def tokenCount(text: UTF8String): Int = {
     // count ' ' bytes + 1 directly on UTF-8 bytes (space never appears in
     // a multi-byte sequence) — zero allocation
@@ -130,6 +132,27 @@ case class TokenCountWs(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** extract_token_count(html BINARY) -> INT: token_count_ws(extract_text(
+  * html)) without materializing the extracted string (no output buffer, no
+  * String->UTF8String re-encode) — the flagship coverage job derives only a
+  * token count from the text, so the fused form removes two of the per-row
+  * allocations on a 10^12-row path. Installed plan-wide by the
+  * GraftExtensions rewrite rule; exact equality with the two-step form is
+  * property-tested (TextSpec). */
+case class ExtractTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_token_count"
+  override protected def nullSafeEval(html: Any): Any =
+    TextRuntime.extractTokenCount(html.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, html =>
+      s"graft.functions.TextRuntime.extractTokenCount($html)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** tag_normalize(lang, raw) -> STRING join key (SURVEY.md §1.7). */
 case class TagNormalize(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -185,6 +208,8 @@ object TextFunctions {
   import ColumnBridge.{column, expression}
   def extractText(html: Column): Column = column(ExtractText(expression(html)))
   def tokenCountWs(text: Column): Column = column(TokenCountWs(expression(text)))
+  def extractTokenCount(html: Column): Column =
+    column(ExtractTokenCount(expression(html)))
   def geoLat(html: Column): Column = column(GeoLat(expression(html)))
   def geoLon(html: Column): Column = column(GeoLon(expression(html)))
   def tagNormalize(lang: Column, raw: Column): Column =
@@ -197,6 +222,7 @@ object TextFunctions {
     def add(name: String, builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     add("extract_text", e => ExtractText(e.head))
+    add("extract_token_count", e => ExtractTokenCount(e.head))
     add("geo_lat", e => GeoLat(e.head))
     add("geo_lon", e => GeoLon(e.head))
     add("tag_normalize", e => TagNormalize(e(0), e(1)))

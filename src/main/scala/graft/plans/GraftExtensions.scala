@@ -42,6 +42,13 @@ object GraftExtensions {
               Literal(-1, IntegerType)), false)
             if pat.toString == " " =>
           TokenCountWs(child)
+        // token count over freshly extracted text: fuse away the extracted
+        // string entirely (no output buffer, no UTF8String re-encode) —
+        // exact-equality contract in TextSpec. Fires AFTER the rule above,
+        // so size(split(extract_text(h), ' ')) fuses in one optimizer pass
+        // too (transformAllExpressions is bottom-up).
+        case TokenCountWs(ExtractText(html)) =>
+          ExtractTokenCount(html)
       }
   }
 
@@ -56,6 +63,7 @@ object GraftExtensions {
     ext.injectFunction(fn("geo_lat", e => GeoLat(e.head)))
     ext.injectFunction(fn("geo_lon", e => GeoLon(e.head)))
     ext.injectFunction(fn("token_count_ws", e => TokenCountWs(e.head)))
+    ext.injectFunction(fn("extract_token_count", e => ExtractTokenCount(e.head)))
     ext.injectFunction(fn("tag_normalize", e => TagNormalize(e(0), e(1))))
     ext.injectFunction(fn("tag_classify", e => TagClassify(e.head)))
     ext.injectFunction(fn("tag_parse", e => TagParse(e.head)))

@@ -20,6 +20,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaRule.sorted == manual.sorted && viaRule.nonEmpty)
   }
 
+  test("rule fuses token_count_ws(extract_text(html)) to extract_token_count") {
+    val pages = sources.Pages.synthesize(spark, 200, 4)
+    val df = pages.select(graft.functions.TextFunctions.tokenCountWs(
+      graft.functions.TextFunctions.extractText(col("html"))).as("tok"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("extract_token_count"), optimized)
+    assert(!optimized.contains("extract_text("), optimized)
+    // exact-value contract vs the two-step form (rule-proof: computed via
+    // a stored text column, which the rewrite cannot touch)
+    val twoStep = pages
+      .select(graft.functions.TextFunctions.tokenCountWs(col("text")).as("tok"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(df.collect().map(_.getInt(0)).toSeq.sorted == twoStep)
+    // the SQL composition fuses too (size∘split -> token_count_ws -> fused)
+    pages.createOrReplaceTempView("pages_fuse")
+    val sqlPlan = spark.sql(
+      "SELECT size(split(extract_text(html), ' ')) AS t FROM pages_fuse")
+      .queryExecution.optimizedPlan.toString
+    assert(sqlPlan.contains("extract_token_count"), sqlPlan)
+  }
+
   test("rule leaves non-matching splits alone") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for (expr <- Seq("size(split(text, ','))", "size(split(text, ' ', 2))")) {

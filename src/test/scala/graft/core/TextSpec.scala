@@ -25,6 +25,35 @@ class TextSpec extends AnyFunSuite with PropHelpers {
     assert(TextExtract.extract(b("<p>café 中文</p>")) == "café 中文")
   }
 
+  test("fused extractTokenCount == countWsTokens(extract) on goldens + fuzz") {
+    import org.scalacheck.Gen
+    def twoStep(s: String): Int =
+      TextExtract.countWsTokens(TextExtract.extractFromString(s))
+    // goldens incl. the nasty cases: entity-encoded space (&#32; IS
+    // whitespace after decode), NBSP (&#160; is NOT Java whitespace),
+    // entity split by a stripped tag, unterminated script, empty text
+    Seq("", "   ", "<p></p>", "<p>a b</p>", "a&#32;b", "a&#160;b",
+        "&am<b>p;", "x<script>never closed", "a &unknown; b & c",
+        "<p>a&amp;b &lt;c&gt; &#233; &#x41;</p>", "tail&", "&;x",
+        "a\n\t  b\r\nc").foreach { s =>
+      assert(TextExtract.countTokensFromString(s) == twoStep(s), s"golden: $s")
+      assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s"bytes: $s")
+    }
+    // fuzz: random compositions of HTML-ish fragments
+    val frag = Gen.oneOf(
+      Gen.oneOf("a", "bb", "word", "中文", "é", " ", "  ", "\n", "\t"),
+      Gen.oneOf("<p>", "</p>", "<div class='x'>", "<", ">", "<br/>"),
+      Gen.oneOf("<script>drop this</script>", "<style>s{}</style>",
+        "<SCRIPT>v", "</script>"),
+      Gen.oneOf("&amp;", "&lt;", "&#32;", "&#160;", "&#x41;", "&unknown;",
+        "&", ";", "&#", "&#999999999;"))
+    val htmlGen = Gen.listOfN(30, frag).map(_.mkString)
+    forAll(htmlGen) { s =>
+      assert(TextExtract.countTokensFromString(s) == twoStep(s), s)
+      assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s)
+    }
+  }
+
   test("extract determinism: same bytes -> same string, repeated") {
     val html = b("<html><p>a&amp;b</p><script>x</script> tail </html>")
     val once = TextExtract.extract(html)
