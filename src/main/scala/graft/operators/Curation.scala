@@ -32,6 +32,24 @@ object Curation {
     docs.withColumn("bucket", hashBucket(col(idCol)))
       .where(col("bucket") < perMille)
 
+  /** Stratified deterministic sampling: per-stratum keep rates (perMille)
+    * with a default for unlisted strata. Same md5 bucket as [[sampleByHash]],
+    * so samples at different rates NEST (a doc kept at 100 perMille is kept
+    * at every higher rate) and the assignment is SQL-reproducible. The rate
+    * table is a literal CASE chain — tiny, no join, pure map-side filter;
+    * at 100 TB a thousand-language rate map is still a single codegen'd
+    * expression per row. Output keeps (bucket, rate) for auditability. */
+  def sampleStratified(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Seq[(String, Int)],
+                       defaultPerMille: Int): DataFrame = {
+    val rateCol = rates.foldRight(lit(defaultPerMille): Column) {
+      case ((k, v), acc) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("bucket", hashBucket(col(idCol)))
+      .withColumn("rate", rateCol)
+      .where(col("bucket") < col("rate"))
+  }
+
   /** Pack documents into token-budget shards: within each `langCol` group,
     * documents ordered by `idCol` are laid out back-to-back and a document
     * lands in shard floor(start_offset / budget) (assignment by start

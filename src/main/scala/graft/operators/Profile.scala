@@ -65,6 +65,32 @@ object Profile {
         (v.cast("double") / lit((1L << 60).toDouble)))
   }
 
+  /** Numeric-distribution profile: EXACT quantiles per column, one
+    * aggregation (percentile with a plateau array — sort-based exact;
+    * Spark's rank = p*(n-1) linear interpolation is the same definition
+    * DuckDB's quantile_cont uses, so the oracle matches bit-for-bit —
+    * verified empirically on integer and double columns). Output:
+    * (column, p, q).
+    *
+    * Scale note: exact percentile buffers per-partition value counts —
+    * fine through ~10^9 rows / bounded-cardinality columns; at the 100-TB
+    * tier swap `percentile` for `approx_percentile` in the same slot
+    * (bounded-memory QuantileSummaries state, rank error <= accuracy) —
+    * approximate results are NOT oracle-checked, the exact form is. */
+  def profileQuantiles(df: DataFrame, cols: Seq[String],
+                       ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(cols.nonEmpty && ps.nonEmpty)
+    val psArr = s"array(${ps.map(p => s"${p}D").mkString(", ")})"
+    val aggs = cols.map(c => expr(s"percentile(`$c`, $psArr)").as(s"__q_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__q_$c`").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, qs)")
+      .select(col("column"), posexplode(col("qs")))
+      .select(col("column"),
+        element_at(typedLit(ps), col("pos") + 1).as("p"),
+        col("col").as("q"))
+  }
+
   /** The 100-TB profiler: one pass, no Expand — n_distinct_est is the KMV
     * estimate over md5(col). Columns hash through CAST(col AS STRING), the
     * repo's cross-engine-stable hash input discipline. */

@@ -30,6 +30,45 @@ object TileAgg {
       .withColumn("tile_z", lit(z))
   }
 
+  /** Tile PYRAMID: per-(tile, region) counts at every zoom zMin..zMax —
+    * the multi-level coverage-map artifact (zoomable raster output).
+    *
+    * Scale shape: the raw relation is aggregated ONCE (at zMax — the only
+    * shuffle over the big input); every coarser level rolls up the
+    * PREVIOUS level's aggregates, a relation of at most 4^z tiles, so the
+    * extra levels cost a handful of aggregations over tiny data — never a
+    * second pass over the corpus. Counts are additive and every tile has
+    * exactly one parent, so the rollup is exact; the oracle recomputes
+    * each level independently from the raw matches (different algorithm,
+    * same rows — q_geo_tile_pyramid). The base level is checkpointed so
+    * the final union does not re-aggregate the corpus once per level. */
+  def pyramid(assigned: DataFrame, zMax: Int, zMin: Int = 0): DataFrame = {
+    require(0 <= zMin && zMin <= zMax)
+    import assigned.sparkSession.implicits._
+    val base = assigned
+      .withColumn("tile", GeoFunctions.cellEncode($"lat", $"lon", lit(zMax)))
+      .groupBy($"tile", $"region_id").agg(count("*").as("n"))
+      .withColumn("tile_z", lit(zMax))
+      .localCheckpoint(true)
+    var levels = List[DataFrame](base)
+    var prev = base
+    var z = zMax - 1
+    while (z >= zMin) {
+      prev = prev
+        .groupBy(GeoFunctions.cellParent($"tile", lit(z)).as("tile"),
+          $"region_id")
+        .agg(sum($"n").as("n"))
+        .withColumn("tile_z", lit(z))
+      levels ::= prev
+      z -= 1
+    }
+    levels.reduce(_ unionByName _)
+      .select($"tile_z",
+        GeoFunctions.cellTileX($"tile").as("tile_x"),
+        GeoFunctions.cellTileY($"tile").as("tile_y"),
+        $"region_id", $"n")
+  }
+
   /** Per-tile coverage: total points vs points matched to any region.
     * `points` must carry lat/lon + keyCol; `assigned` is assign() output. */
   def coverage(points: DataFrame, assigned: DataFrame, keyCol: String,

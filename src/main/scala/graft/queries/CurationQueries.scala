@@ -44,6 +44,20 @@ object CurationQueries {
       Curation.packShards(docs, "doc_id", "n_tok", "lang", budget = 2000L)
     },
 
+    QueryDef.sql("q_cur_sample_strat", {
+      val b = hashBucketSql("doc_id")
+      val rate = "CASE WHEN lang = 'it' THEN 500 WHEN lang = 'en' THEN 100 ELSE 50 END"
+      s"""SELECT doc_id, lang, $b AS bucket, $rate AS rate
+         |FROM documents
+         |WHERE $b < $rate""".stripMargin
+    }) { (s, d) =>
+      // per-stratum rates over the same md5 bucket as q_cur_sample, so the
+      // strata nest monotonically (rate-100 sample ⊂ rate-500 sample)
+      Curation.sampleStratified(
+        s.read.parquet(s"$d/documents.parquet").select("doc_id", "lang"),
+        "doc_id", "lang", Seq("it" -> 500, "en" -> 100), defaultPerMille = 50)
+    },
+
     QueryDef.sql("q_prof_events",
       """SELECT * FROM (
         |  SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n,
@@ -101,6 +115,20 @@ object CurationQueries {
       graft.operators.Profile.profileApprox(
         s.read.parquet(s"$d/events.parquet"),
         Seq("event_id", "user_id", "event_type"), k = 16)
+    },
+
+    QueryDef.sql("q_prof_quantiles", {
+      // Spark exact percentile and DuckDB quantile_cont share the
+      // rank = p*(n-1) linear-interpolation definition -> bit-identical.
+      // ::DOUBLE[] on the p list: a bare DuckDB list literal is DECIMAL,
+      // which would hash-mismatch Spark's DOUBLE p column
+      def qcol(c: String): String =
+        s"""SELECT '$c' AS column, p, q FROM (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS p, unnest(quantile_cont($c, [0.25, 0.5, 0.75])) AS q FROM events)"""
+      s"""${qcol("event_id")}
+         |UNION ALL ${qcol("user_id")}""".stripMargin
+    }) { (s, d) =>
+      graft.operators.Profile.profileQuantiles(
+        s.read.parquet(s"$d/events.parquet"), Seq("event_id", "user_id"))
     },
 
     QueryDef.sql("q_agg_kmv",

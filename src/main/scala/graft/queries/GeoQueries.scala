@@ -95,6 +95,22 @@ object GeoQueries {
         .select("tile_x", "tile_y", "pages", "matched")
     },
 
+    QueryDef.sql("q_geo_tile_pyramid", {
+      // oracle recomputes every level INDEPENDENTLY from the raw matches;
+      // the engine aggregates once at zMax and rolls coarser levels up
+      // from the previous level's aggregates (TileAgg.pyramid)
+      def level(z: Int): String = {
+        val tz = cellParentSql(cellEncodeSql("p.lat", "p.lon", 12), 12, z)
+        s"""SELECT $z AS tile_z, ${tileXSql(tz, z)} AS tile_x, ${tileYSql(tz, z)} AS tile_y, m.region_id, CAST(count(*) AS BIGINT) AS n FROM pip_matches m JOIN pts p ON m.k = p.k GROUP BY 1, 2, 3, 4"""
+      }
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql}
+         |${(4 to 7).map(level).mkString(" UNION ALL ")}""".stripMargin
+    }) { (s, d) =>
+      TileAgg.pyramid(assigned(s, d), zMax = 7, zMin = 4)
+        .select("tile_z", "tile_x", "tile_y", "region_id", "n")
+    },
+
     QueryDef.sql("q_geo_knn",
       s"""WITH pts AS (SELECT * FROM (${pointsSql}) WHERE k % 100 = 0),
          |feats AS (${featuresSql}),

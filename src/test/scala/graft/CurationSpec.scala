@@ -33,6 +33,51 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("sampleStratified: per-stratum rates, monotone nesting, audit columns") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    val got = Curation.sampleStratified(docs, "doc_id", "lang",
+      Seq("it" -> 500, "en" -> 100), defaultPerMille = 50).collect()
+    assert(got.nonEmpty)
+    // every kept row satisfies bucket < its stratum's rate
+    got.foreach { r =>
+      val (lang, bucket, rate) = (r.getString(1), r.getLong(2), r.getInt(3))
+      val expected = lang match {
+        case "it" => 500; case "en" => 100; case _ => 50
+      }
+      assert(rate == expected && bucket < rate, r.toString)
+    }
+    // nesting: raising every rate only ADDS rows (same md5 bucket)
+    val low = got.map(_.getLong(0)).toSet
+    val high = Curation.sampleStratified(docs, "doc_id", "lang",
+      Seq("it" -> 800, "en" -> 400), defaultPerMille = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // consistency with the unstratified sampler at the same rate
+    val flat = Curation.sampleByHash(docs, "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    val allAt50 = Curation.sampleStratified(docs, "doc_id", "lang",
+      Seq(), defaultPerMille = 50).collect().map(_.getLong(0)).toSet
+    assert(allAt50 == flat)
+  }
+
+  test("profileQuantiles: exact percentile matches a sort-based recomputation") {
+    import graft.operators.Profile
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val got = Profile.profileQuantiles(df, Seq("user_id"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val vals = df.where(col("user_id").isNotNull)
+      .select(col("user_id").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    Seq(0.25, 0.5, 0.75).foreach { p =>
+      val rank = p * (vals.length - 1)
+      val lo = vals(rank.toInt)
+      val hi = vals(math.ceil(rank).toInt)
+      val expected = lo + (hi - lo) * (rank - rank.toInt)
+      assert(got(p) == expected, s"p=$p")
+    }
+  }
+
   test("packShards shard ids are integer-exact and match floor semantics") {
     import spark.implicits._
     // offsets straddling several budget boundaries, incl. a doc exactly ON

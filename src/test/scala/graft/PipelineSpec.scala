@@ -62,6 +62,28 @@ class PipelineSpec extends SparkTestBase {
     assert(run(SpatialJoin.Auto(maxBroadcastCells = 1)) == b)
   }
 
+  test("tile pyramid: rolled-up levels equal direct aggregation at each zoom") {
+    import graft.operators.TileAgg
+    val assigned = SpatialJoin.assign(GeoFixtures.points(spark, sfDir), "k",
+      SpatialJoin.coverDF(spark))
+    val pyr = TileAgg.pyramid(assigned, zMax = 7, zMin = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    assert(pyr.nonEmpty)
+    // every level, every (tile, region): the pyramid rollup equals the
+    // per-level direct aggregation over raw matches
+    (4 to 7).foreach { z =>
+      val direct = TileAgg.perRegion(assigned, z).collect()
+        .map(r => (z, r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val level = pyr.filter(_._1._1 == z)
+      assert(level == direct, s"level $z")
+    }
+    // additivity: every level carries the same total match count
+    val totals = pyr.groupBy(_._1._1).map { case (z, m) => z -> m.values.sum }
+    assert(totals.values.toSet.size == 1, totals)
+  }
+
   test("Auto mode picks Broadcast for a small cover, Shuffle past the cap") {
     val cover = SpatialJoin.coverDF(spark)
     assert(cover.cellIds.length > 1)
