@@ -10,7 +10,7 @@ import graft.operators.SpatialJoin
  *
  *   spark-submit --class graft.Main engine.jar \
  *     --pages <path> [--format parquet|iceberg] --out <dir> \
- *     --lineage <dir> --run-id <id> [--mode broadcast|shuffle|salted[:S]]
+ *     --lineage <dir> --run-id <id> [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]]
  *     [--zoom 8] [--tiles <dir>]
  *
  * Re-invoking with the same --run-id resumes: completed cell prefixes are
@@ -32,7 +32,10 @@ object Main {
 
     val pages = spark.read.format(opts.getOrElse("format", "parquet"))
       .load(opts("pages"))
-    val mode: SpatialJoin.Mode = opts.getOrElse("mode", "broadcast") match {
+    val mode: SpatialJoin.Mode = opts.getOrElse("mode", "auto") match {
+      case "auto" => SpatialJoin.Auto() // size-based broadcast/shuffle pick
+      case s if s.startsWith("auto:") =>
+        SpatialJoin.Auto(maxBroadcastCells = s.split(":")(1).toLong)
       case "broadcast" => SpatialJoin.Broadcast
       case "shuffle" => SpatialJoin.Shuffle
       case s if s.startsWith("salted") =>

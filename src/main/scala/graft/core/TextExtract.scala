@@ -156,8 +156,21 @@ object TextExtract {
     * the extracted text); equality with the two-step form is property-
     * tested in TextSpec, and the TokenCountWs(ExtractText(_)) rewrite in
     * GraftExtensions applies it plan-wide. */
-  def extractTokenCount(html: Array[Byte]): Int =
-    countTokensFromString(new String(html, StandardCharsets.UTF_8))
+  def extractTokenCount(html: Array[Byte]): Int = {
+    // ASCII fast path: when every byte is < 0x80, char == byte for the
+    // whole grammar (tag names, entities, Character.isWhitespace on
+    // 0x09-0x0D/0x1C-0x1F/0x20), so both passes run on the raw bytes with
+    // ZERO string/char decoding — the common case for web markup. Any
+    // high byte falls back to the exact string path (multibyte text,
+    // malformed-UTF-8 replacement, unicode whitespace classes).
+    var i = 0
+    while (i < html.length) {
+      if (html(i) < 0) return countTokensFromString(
+        new String(html, StandardCharsets.UTF_8))
+      i += 1
+    }
+    countTokensAscii(html)
+  }
 
   def countTokensFromString(raw: String): Int = {
     val s = stripTags(raw)
@@ -188,6 +201,146 @@ object TextExtract {
       } else { emitChar(c); i += 1 }
     }
     spaces + 1
+  }
+
+  // --- ASCII byte-level twins of stripTags + the counting pass (the
+  // extractTokenCount fast path; semantics proven equal to the string
+  // path for all-ASCII input by the TextSpec fuzz, which routes unicode
+  // fragments to the fallback and ASCII-only ones here) ---
+
+  @inline private def startsWithCIB(s: Array[Byte], i: Int, word: String): Boolean = {
+    if (i + word.length > s.length) return false
+    var k = 0
+    while (k < word.length) {
+      val c = s(i + k)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+      if (lc != word.charAt(k).toByte) return false
+      k += 1
+    }
+    true
+  }
+
+  @inline private def indexOfCIB(s: Array[Byte], from: Int, word: String): Int = {
+    var i = from
+    val limit = s.length - word.length
+    while (i <= limit) {
+      if (startsWithCIB(s, i, word)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def countTokensAscii(s: Array[Byte]): Int = {
+    // pass 1: strip tags + script/style blocks into a byte buffer
+    val buf = new Array[Byte](s.length)
+    var blen = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '<') {
+        var dropped = false
+        var w = 0
+        while (!dropped && w < 2) {
+          val name = if (w == 0) "script" else "style"
+          if (startsWithCIB(s, i + 1, name) &&
+              (i + 1 + name.length == s.length ||
+               !isAsciiLetterOrDigit(s(i + 1 + name.length)))) {
+            val close = "</" + name + ">"
+            val end = indexOfCIB(s, i, close)
+            i = if (end < 0) s.length else end + close.length
+            dropped = true
+          }
+          w += 1
+        }
+        if (!dropped) {
+          var gt = i + 1
+          while (gt < s.length && s(gt) != '>') gt += 1
+          i = if (gt >= s.length) s.length else gt + 1
+        }
+      } else {
+        buf(blen) = c; blen += 1
+        i += 1
+      }
+    }
+    // pass 2: entity decode + whitespace collapse, counting only
+    var spaces = 0
+    var pendingSpace = false
+    var started = false
+    @inline def emitCp(cp: Int): Unit = {
+      // int overload == per-char semantics here: all whitespace codepoints
+      // are BMP, and surrogate halves of supplementary chars are never
+      // whitespace either way
+      if (Character.isWhitespace(cp)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { spaces += 1; pendingSpace = false }
+        started = true
+      }
+    }
+    i = 0
+    while (i < blen) {
+      val c = buf(i)
+      if (c == '&') {
+        var semi = -1
+        var j = i + 1
+        while (semi < 0 && j < blen && j - i <= 10) {
+          if (buf(j) == ';') semi = j
+          j += 1
+        }
+        val cp = if (semi < 0) -1 else entityCodepointAscii(buf, i + 1, semi)
+        if (cp >= 0) { emitCp(cp); i = semi + 1 }
+        else { emitCp('&'); i += 1 }
+      } else { emitCp(c); i += 1 }
+    }
+    spaces + 1
+  }
+
+  @inline private def isAsciiLetterOrDigit(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+
+  /** Byte twin of [[entityReplacement]], returning the decoded CODEPOINT
+    * (all five named entities and valid numeric references decode to one
+    * codepoint) or -1 when the body is not a recognized entity. */
+  private def entityCodepointAscii(s: Array[Byte], from: Int, to: Int): Int = {
+    val len = to - from
+    @inline def is(word: String): Boolean = {
+      if (len != word.length) return false
+      var k = 0
+      while (k < len) { if (s(from + k) != word.charAt(k).toByte) return false; k += 1 }
+      true
+    }
+    if (is("amp")) '&'
+    else if (is("lt")) '<'
+    else if (is("gt")) '>'
+    else if (is("quot")) '"'
+    else if (len >= 2 && s(from) == '#' && (s(from + 1) == 'x' || s(from + 1) == 'X')) {
+      var v = 0L
+      var k = from + 2
+      if (k >= to) return -1
+      while (k < to) {
+        val b = s(k)
+        val d =
+          if (b >= '0' && b <= '9') b - '0'
+          else if (b >= 'a' && b <= 'f') b - 'a' + 10
+          else if (b >= 'A' && b <= 'F') b - 'A' + 10
+          else return -1
+        v = v * 16 + d
+        if (v > Int.MaxValue) return -1 // Integer.parseInt would overflow
+        k += 1
+      }
+      if (Character.isValidCodePoint(v.toInt)) v.toInt else -1
+    } else if (len >= 1 && s(from) == '#') {
+      var v = 0L
+      var k = from + 1
+      if (k >= to) return -1
+      while (k < to) {
+        val b = s(k)
+        if (b < '0' || b > '9') return -1
+        v = v * 10 + (b - '0')
+        if (v > Int.MaxValue) return -1
+        k += 1
+      }
+      if (Character.isValidCodePoint(v.toInt)) v.toInt else -1
+    } else -1
   }
 
   /** Tokens separated by a single space, counting empty segments — exact

@@ -39,18 +39,25 @@ class TextSpec extends AnyFunSuite with PropHelpers {
       assert(TextExtract.countTokensFromString(s) == twoStep(s), s"golden: $s")
       assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s"bytes: $s")
     }
-    // fuzz: random compositions of HTML-ish fragments
-    val frag = Gen.oneOf(
-      Gen.oneOf("a", "bb", "word", "中文", "é", " ", "  ", "\n", "\t"),
+    // fuzz: random compositions of HTML-ish fragments. asciiFrag-only
+    // samples exercise the byte-level fast path of extractTokenCount;
+    // mixed samples (unicode text) exercise the string fallback — both
+    // must equal the two-step form.
+    val asciiFrag = Gen.oneOf(
+      Gen.oneOf("a", "bb", "word", " ", "  ", "\n", "\t"),
       Gen.oneOf("<p>", "</p>", "<div class='x'>", "<", ">", "<br/>"),
       Gen.oneOf("<script>drop this</script>", "<style>s{}</style>",
-        "<SCRIPT>v", "</script>"),
-      Gen.oneOf("&amp;", "&lt;", "&#32;", "&#160;", "&#x41;", "&unknown;",
-        "&", ";", "&#", "&#999999999;"))
-    val htmlGen = Gen.listOfN(30, frag).map(_.mkString)
-    forAll(htmlGen) { s =>
-      assert(TextExtract.countTokensFromString(s) == twoStep(s), s)
-      assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s)
+        "<SCRIPT>v", "</script>", "<scripty>x</scripty>", "<style"),
+      Gen.oneOf("&amp;", "&lt;", "&gt;", "&quot;", "&#32;", "&#160;",
+        "&#x41;", "&#xD800;", "&#x110000;", "&#2147483647;", "&unknown;",
+        "&", ";", "&#", "&#x;", "&#999999999999;", "&am", "p;"))
+    val anyFrag = Gen.oneOf(asciiFrag, Gen.oneOf("中文", "é", "汉&amp;字"))
+    Seq(Gen.listOfN(30, asciiFrag).map(_.mkString),
+        Gen.listOfN(30, anyFrag).map(_.mkString)).foreach { gen =>
+      forAll(gen) { s =>
+        assert(TextExtract.countTokensFromString(s) == twoStep(s), s)
+        assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s)
+      }
     }
   }
 
