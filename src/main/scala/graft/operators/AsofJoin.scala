@@ -24,12 +24,23 @@ import org.apache.spark.sql.functions._
  */
 object AsofJoin {
 
+  /** `tolerance`: optional maximum staleness — a match is kept only when
+    * the matched right ts >= left ts - tolerance (an INTERVAL column for
+    * timestamp keys, a numeric for numeric ts). Stale matches surface as
+    * null payloads (the left row is kept, like a miss), which is what the
+    * production semantics of quote-for-trade / snapshot-enrichment want:
+    * "no recent-enough snapshot" ≠ "the ancient one". Implemented by
+    * carrying the matched ts alongside the payload in the same window —
+    * no second join, no extra shuffle. */
   def latestPrior(left: DataFrame, right: DataFrame, keyCol: String,
-                  tsCol: String, payloadCols: Seq[String]): DataFrame = {
+                  tsCol: String, payloadCols: Seq[String],
+                  tolerance: Option[Column] = None): DataFrame = {
     val clash = left.columns.toSet.intersect(payloadCols.toSet)
     require(clash.isEmpty,
       s"payload columns collide with left columns: ${clash.mkString(", ")} — alias the right side first")
-    val payload = struct(payloadCols.map(col): _*)
+    // payload travels WITH its own ts so the tolerance check can see when
+    // the carried match was stamped
+    val payload = struct(col(tsCol).as("__mts") +: payloadCols.map(col): _*)
     val pType = right.select(payload.as("__p")).schema("__p").dataType
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.select(lStruct.as("__l")).schema("__l").dataType
@@ -42,8 +53,14 @@ object AsofJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried0 = last(col("__p"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case None => carried0
+      case Some(tol) => // null when stale (when() without otherwise)
+        when(carried0.getField("__mts") >= col("__ts") - tol, carried0)
+    }
     val carried = r.unionByName(l)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__match", matched)
       .where(col("__src") === 1)
 
     val leftOut: Seq[Column] = left.columns.map(c => col(s"__l.$c").as(c)).toSeq

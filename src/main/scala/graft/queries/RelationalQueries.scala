@@ -279,6 +279,29 @@ object RelationalQueries {
         .select("event_id", "user_id", "snap_id", "snap_value")
     },
 
+    QueryDef.sql("q_asof_join_tol",
+      """WITH snap AS (SELECT user_id, ts, event_id AS snap_id,
+        |    value AS snap_value
+        |  FROM events WHERE event_id % 7 = 0),
+        |probe AS (SELECT event_id, user_id, ts FROM events)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN s.ts >= p.ts - INTERVAL 2 HOUR THEN s.snap_id END AS snap_id,
+        |  CASE WHEN s.ts >= p.ts - INTERVAL 2 HOUR THEN s.snap_value END AS snap_value
+        |FROM probe p ASOF LEFT JOIN snap s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin) { (s, d) =>
+      // as-of with max staleness: snapshots older than 2h surface as null
+      // payloads (the production "no recent-enough snapshot" semantics)
+      val ev = t(s, d, "events")
+      val snap = ev.where(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("snap_id"), col("value").as("snap_value"))
+      val probe = ev.select("event_id", "user_id", "ts")
+      graft.operators.AsofJoin
+        .latestPrior(probe, snap, "user_id", "ts", Seq("snap_id", "snap_value"),
+          tolerance = Some(expr("INTERVAL 2 HOUR")))
+        .select("event_id", "user_id", "snap_id", "snap_value")
+    },
+
     QueryDef.sql("q_d4_sessionize",
       """WITH e AS (SELECT user_id, event_id, ts,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

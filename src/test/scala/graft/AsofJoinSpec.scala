@@ -33,4 +33,26 @@ class AsofJoinSpec extends SparkTestBase {
         (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(out2 === out)
   }
+
+  test("tolerance: stale matches become null payloads, fresh ones survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val right = Seq(
+      (1L, ts(100), 10L), (1L, ts(200), 20L)).toDF("k", "ts", "v")
+    val left = Seq(
+      (1L, ts(210), "fresh"),    // 10s after snap 20 -> match
+      (1L, ts(200), "exact"),    // inclusive at snap 20 -> match
+      (1L, ts(260), "edge"),     // exactly 60s after -> >= boundary keeps it
+      (1L, ts(261), "stale"),    // 61s after -> null
+      (1L, ts(150), "old_snap"), // latest prior is snap 10 at 50s -> match
+      (1L, ts(50), "none"))      // no prior at all -> null
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin.latestPrior(left, right, "k", "ts", Seq("v"),
+        tolerance = Some(expr("INTERVAL 60 SECOND")))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map("fresh" -> Some(20L), "exact" -> Some(20L),
+      "edge" -> Some(20L), "stale" -> None, "old_snap" -> Some(10L),
+      "none" -> None))
+  }
 }
