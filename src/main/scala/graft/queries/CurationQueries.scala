@@ -198,5 +198,43 @@ object CurationQueries {
       val clusters = Dedup.clusters(Dedup.candidatePairsFromBanded(
         TextFixtures.bandedCached(s, d), "doc_id"))
       Dedup.keepOnePerCluster(docs, "doc_id", clusters).select("doc_id")
+    },
+
+    QueryDef.sql("q_dup_pipeline",
+      s"""WITH RECURSIVE docs AS ($dupDocsSql),
+         |$bandedSqlCtes,
+         |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |survivors AS (SELECT d.doc_id, d.text FROM docs d
+         |  WHERE NOT EXISTS (SELECT 1 FROM clusters c
+         |    WHERE c.doc_id = d.doc_id AND c.doc_id != c.rep)),
+         |t AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n
+         |  FROM survivors),
+         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum FROM t)
+         |SELECT doc_id, n AS n_tokens, CAST((cum - n) // 4000 AS INT) AS shard
+         |FROM c""".stripMargin) { (s, d) =>
+      // the FULL training-data pipeline, composed end-to-end in one plan:
+      // dup-injected corpus -> MinHash/LSH candidate pairs -> connected-
+      // component clusters -> keep one doc per cluster -> pack survivors
+      // into token-budget shards. Every stage is the registry operator;
+      // the oracle recomputes the whole chain in SQL (recursive closure +
+      // window cumsum), so the composition is verified, not just the parts
+      val docs = TextFixtures.dupDocs(s, d)
+      val clusters = Dedup.clusters(Dedup.candidatePairsFromBanded(
+        TextFixtures.bandedCached(s, d), "doc_id"))
+      val survivors = Dedup.keepOnePerCluster(docs, "doc_id", clusters)
+        .select(col("doc_id"), lit("all").as("lang"),
+          size(split(col("text"), "\\s+")).as("n_tok"))
+      Curation.packShards(survivors, "doc_id", "n_tok", "lang", budget = 4000L)
+        .select("doc_id", "n_tokens", "shard")
     })
 }

@@ -18,12 +18,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
  */
 object OsmXml {
 
+  final case class OsmMember(mtype: String, ref: Long, role: String)
+
   final case class OsmObject(
       featureId: Long,
       featureType: String,
       lat: Option[Double],
       lon: Option[Double],
-      tags: Map[String, String])
+      tags: Map[String, String],
+      ndRefs: Seq[Long] = Nil,
+      members: Seq[OsmMember] = Nil)
 
   /** Parse one OSM XML document (string form). Pure, deterministic. */
   def parseDocument(xml: String): Iterator[OsmObject] = {
@@ -34,6 +38,8 @@ object OsmXml {
     val out = scala.collection.mutable.ArrayBuffer.empty[OsmObject]
     var cur: OsmObject = null
     var tags = Map.newBuilder[String, String]
+    var nds = Seq.newBuilder[Long]
+    var membs = Seq.newBuilder[OsmMember]
     import javax.xml.stream.XMLStreamConstants._
     while (reader.hasNext) {
       reader.next() match {
@@ -48,16 +54,27 @@ object OsmXml {
                 attr("lon").map(java.lang.Double.parseDouble),
                 Map.empty)
               tags = Map.newBuilder
+              nds = Seq.newBuilder
+              membs = Seq.newBuilder
             case "tag" if cur != null =>
               val k = reader.getAttributeValue(null, "k")
               val v = reader.getAttributeValue(null, "v")
               if (k != null && v != null) tags += (k -> v)
+            case "nd" if cur != null =>
+              Option(reader.getAttributeValue(null, "ref"))
+                .foreach(r => nds += r.toLong)
+            case "member" if cur != null =>
+              val t = reader.getAttributeValue(null, "type")
+              val r = reader.getAttributeValue(null, "ref")
+              if (t != null && r != null) membs += OsmMember(t, r.toLong,
+                Option(reader.getAttributeValue(null, "role")).getOrElse(""))
             case _ =>
           }
         case END_ELEMENT =>
           reader.getLocalName match {
             case "node" | "way" | "relation" if cur != null =>
-              out += cur.copy(tags = tags.result())
+              out += cur.copy(tags = tags.result(), ndRefs = nds.result(),
+                members = membs.result())
               cur = null
             case _ =>
           }
@@ -75,6 +92,95 @@ object OsmXml {
       .flatMap { case (_, content) => parseDocument(content) }
       .toDS()
   }
+
+  /** Assemble OSM boundary/multipolygon relations into PolyPart rings —
+    * the reference's actual polygon source (admin boundaries come from OSM
+    * relations over member ways, not pre-baked GeoJSON). Pure function
+    * over parsed objects, so the stitcher is unit-testable without Spark.
+    *
+    * Semantics (the standard OSM multipolygon model, public spec):
+    * relations with type=boundary or type=multipolygon; member ways with
+    * role "outer" (or the legacy empty role) form shells, role "inner"
+    * forms holes. Ways are stitched into closed rings by NODE REF (never
+    * by float coordinate equality), reversing segments as needed; a hole
+    * is attached to the shell that contains its first vertex. Emitted
+    * rings are open (closing vertex dropped), flat [lon,lat,...] — the
+    * exact PolyPart layout SpatialJoin.coverDF consumes, so
+    * "OSM XML -> polygons -> cover -> spatial join" is one composed path
+    * (SourcesSpec proves it end-to-end).
+    *
+    * Deterministic: relations ordered by id, ways stitched in member
+    * order, extension always picks the first matching segment. Unclosed
+    * ring sets and members referencing missing ways fail loudly. */
+  def boundaryPolygons(objs: Seq[OsmObject]): Seq[graft.core.Polygons.PolyPart] = {
+    import graft.core.{Geo, Polygons}
+    val nodes = objs.iterator.filter(_.featureType == "node")
+      .map(o => o.featureId -> (o.lon.getOrElse(Double.NaN),
+        o.lat.getOrElse(Double.NaN))).toMap
+    val ways = objs.iterator.filter(_.featureType == "way")
+      .map(o => o.featureId -> o.ndRefs).toMap
+    val rels = objs.filter(o => o.featureType == "relation" &&
+      o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
+
+    def ringsOf(rel: OsmObject, inner: Boolean): Seq[Array[Double]] = {
+      val refs = rel.members.filter(m => m.mtype == "way" &&
+        (if (inner) m.role == "inner" else m.role == "outer" || m.role.isEmpty))
+        .map(_.ref)
+      refs.foreach(r => require(ways.contains(r),
+        s"relation ${rel.featureId} references missing way $r"))
+      stitchRings(refs.map(ways)).map { ringRefs =>
+        ringRefs.flatMap { nid =>
+          val (lon, lat) = nodes.getOrElse(nid,
+            throw new IllegalArgumentException(
+              s"relation ${rel.featureId} references missing node $nid"))
+          Seq(lon, lat)
+        }.toArray
+      }
+    }
+
+    rels.sortBy(_.featureId).flatMap { rel =>
+      val shells = ringsOf(rel, inner = false)
+      val holes = ringsOf(rel, inner = true)
+      require(shells.nonEmpty, s"relation ${rel.featureId} has no outer ring")
+      shells.zipWithIndex.map { case (shell, i) =>
+        val mine = holes.filter(h => Geo.contains(h(1), h(0), Array(shell)))
+        Polygons.PolyPart(rel.featureId, i, s"osm-${rel.featureId}-$i",
+          (shell +: mine).toArray)
+      }
+    }
+  }
+
+  /** Stitch way node-ref polylines into closed rings (open form: the
+    * closing ref is dropped). Matching is by endpoint node ref; segments
+    * reverse freely (OSM ways have arbitrary direction). */
+  private[sources] def stitchRings(segs: Seq[Seq[Long]]): Seq[Seq[Long]] = {
+    val pool = scala.collection.mutable.ArrayBuffer(
+      segs.filter(_.length >= 2): _*)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    while (pool.nonEmpty) {
+      val current = scala.collection.mutable.ArrayBuffer(pool.remove(0): _*)
+      while (current.head != current.last) {
+        val i = pool.indexWhere(s =>
+          s.head == current.last || s.last == current.last)
+        require(i >= 0,
+          s"unclosed ring: no way continues from node ${current.last}")
+        val seg = pool.remove(i)
+        val oriented = if (seg.head == current.last) seg else seg.reverse
+        current ++= oriented.tail
+      }
+      require(current.length >= 4, "degenerate ring (< 3 distinct vertices)")
+      rings += current.dropRight(1).toSeq
+    }
+    rings.toSeq
+  }
+
+  /** Distributed parse -> driver-side boundary assembly. The polygon set
+    * is the SMALL dimension of the spatial join (the same reasoning as
+    * SpatialJoin.coverDF computing covers driver-side); the pages corpus
+    * is the big side. */
+  def readBoundaries(spark: SparkSession,
+                     pathGlob: String): Seq[graft.core.Polygons.PolyPart] =
+    boundaryPolygons(read(spark, pathGlob).collect().toSeq)
 
   /** Feature relation for the tag-match join: objects carrying any
     * wikipedia tag, with the normalized key and error routing columns

@@ -58,6 +58,56 @@ class SourcesSpec extends SparkTestBase {
     assert(byId(2001L) == (("de:Some Way", "ok")))
   }
 
+  test("OSM boundary relations assemble into polygons and spatial-join e2e") {
+    import graft.operators.SpatialJoin
+    import spark.implicits._
+    // square shell from TWO ways (the second stored in reverse direction,
+    // so stitching must flip it) + a closed inner-hole way
+    val xml =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <node id="1" lat="0.001" lon="0.001"/>
+        |  <node id="2" lat="10.001" lon="0.001"/>
+        |  <node id="3" lat="10.001" lon="10.001"/>
+        |  <node id="4" lat="0.001" lon="10.001"/>
+        |  <node id="5" lat="4.001" lon="4.001"/>
+        |  <node id="6" lat="6.001" lon="4.001"/>
+        |  <node id="7" lat="6.001" lon="6.001"/>
+        |  <node id="8" lat="4.001" lon="6.001"/>
+        |  <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+        |  <way id="101"><nd ref="1"/><nd ref="4"/><nd ref="3"/></way>
+        |  <way id="102"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="8"/><nd ref="5"/></way>
+        |  <relation id="200">
+        |    <member type="way" ref="100" role="outer"/>
+        |    <member type="way" ref="101" role="outer"/>
+        |    <member type="way" ref="102" role="inner"/>
+        |    <tag k="type" v="boundary"/>
+        |  </relation>
+        |</osm>""".stripMargin
+    val parts = OsmXml.boundaryPolygons(OsmXml.parseDocument(xml).toSeq)
+    assert(parts.length == 1)
+    val p = parts.head
+    assert(p.regionId == 200L && p.rings.length == 2) // shell + hole
+    assert(p.rings(0).length == 8 && p.rings(1).length == 8) // 4 open vertices
+    // geometry sanity straight off the assembled rings
+    assert(graft.core.Geo.contains(2.0, 2.0, p.rings))   // in shell
+    assert(!graft.core.Geo.contains(5.0, 5.0, p.rings))  // in hole
+    assert(!graft.core.Geo.contains(12.0, 12.0, p.rings))
+    // ...and through the full cover + candidate + PIP-refine join
+    val pts = Seq((1L, 2.0, 2.0), (2L, 5.0, 5.0), (3L, 12.0, 12.0))
+      .toDF("k", "lat", "lon")
+    val cover = SpatialJoin.coverDF(spark, parts, rMin = 5, rMax = 8)
+    val got = SpatialJoin.assign(pts, "k", cover, rMin = 5, rMax = 8)
+      .select("k", "region_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 200L)))
+    // malformed input fails loudly, never silently drops geometry
+    val unclosed = xml.replace("""<member type="way" ref="101" role="outer"/>""", "")
+    intercept[IllegalArgumentException] {
+      OsmXml.boundaryPolygons(OsmXml.parseDocument(unclosed).toSeq)
+    }
+  }
+
   test("polygon JSON round-trips and produces the same covers") {
     val dir = java.nio.file.Files.createTempDirectory("graftpoly").toString
     val path = s"$dir/polys.jsonl"
