@@ -39,23 +39,37 @@ object Knn {
   case object Shuffle extends Mode
   final case class Auto(maxBroadcastRows: Long = 2000000L) extends Mode
 
+  /** Build the cell index once — materialized (localCheckpoint), so every
+    * expansion round and every subsequent [[nearestIndexed]] call re-joins
+    * the same blocks instead of recomputing the cell-encode scan. This is
+    * the production shape: one index build, many kNN query batches. */
+  def buildIndex(features: DataFrame, fidCol: String,
+                 indexRes: Int = 7): DataFrame = {
+    import features.sparkSession.implicits._
+    features
+      .withColumn("fcell", GeoFunctions.cellEncode($"lat", $"lon", lit(indexRes)))
+      .select(col(fidCol).as("__fid"), $"lat".as("__flat"), $"lon".as("__flon"), $"fcell")
+      .localCheckpoint(true)
+  }
+
   def nearest(points: DataFrame, keyCol: String,
               features: DataFrame, fidCol: String,
               k: Int, indexRes: Int = 7, maxRounds: Int = 12,
-              mode: Mode = Auto()): DataFrame = {
+              mode: Mode = Auto()): DataFrame =
+    nearestIndexed(points, keyCol, buildIndex(features, fidCol, indexRes),
+      fidCol, k, indexRes, maxRounds, mode)
+
+  /** kNN over a prebuilt [[buildIndex]] result (reuse the index across
+    * query batches; `indexRes` must match the build). */
+  def nearestIndexed(points: DataFrame, keyCol: String, fIdx: DataFrame,
+                     fidCol: String, k: Int, indexRes: Int = 7,
+                     maxRounds: Int = 12, mode: Mode = Auto()): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
     val (dLon, dLat) = Cells.cellSizeDeg(indexRes)
     val minDim = math.min(dLon, dLat)
     val gridMax = 1 << indexRes // disk radius covering the whole grid
-
-    // materialized once: every expansion round re-joins the index, so the
-    // cell-encode scan must not be recomputed per round
-    val fIdx = features
-      .withColumn("fcell", GeoFunctions.cellEncode($"lat", $"lon", lit(indexRes)))
-      .select(col(fidCol).as("__fid"), $"lat".as("__flat"), $"lon".as("__flon"), $"fcell")
-      .localCheckpoint(true)
 
     val broadcastIndex = mode match {
       case Broadcast => true

@@ -18,6 +18,7 @@ object SessionCaches {
 
   def clear(spark: SparkSession): Unit = {
     graft.queries.TextFixtures.clearMemo()
+    graft.queries.GeoQueries.clearIndexMemo()
     graft.operators.SpatialJoin.clearCoverCache()
     spark.sharedState.cacheManager.clearCache()
     // the sweep: every persisted/locally-checkpointed RDD still registered

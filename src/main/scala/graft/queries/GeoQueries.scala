@@ -18,6 +18,20 @@ import graft.sources.GeoFixtures
 object GeoQueries {
   import GeoFixtures._
 
+  /** Session-scoped memo of the built kNN feature index: three registry
+    * queries (knn, knn_shuffle, suggest) share one index — exactly how a
+    * production deployment serves many query batches off one build. Size-
+    * capped like the other memos; cleared by plans.SessionCaches. */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def clearIndexMemo(): Unit = idxCache.clear()
+
+  private def featureIndex(s: SparkSession, d: String): DataFrame = {
+    if (idxCache.size() >= 4 && !idxCache.containsKey((s, d))) clearIndexMemo()
+    idxCache.computeIfAbsent((s, d), _ => Knn.buildIndex(features(s, d), "fid"))
+  }
+
   private def points12(s: SparkSession, d: String): DataFrame =
     points(s, d).withColumn("cell12",
       GeoFunctions.cellEncode(col("lat"), col("lon"), lit(12)))
@@ -123,8 +137,8 @@ object GeoQueries {
          |        + (p.lon - f.lon) * (p.lon - f.lon), f.fid) AS rank
          |  FROM pts p CROSS JOIN feats f)
          |SELECT k, rank, fid FROM scored WHERE rank <= 3""".stripMargin) { (s, d) =>
-      Knn.nearest(points(s, d).where(col("k") % 100 === 0), "k",
-          features(s, d), "fid", k = 3)
+      Knn.nearestIndexed(points(s, d).where(col("k") % 100 === 0), "k",
+          featureIndex(s, d), "fid", k = 3)
         .select("k", "rank", "fid")
     },
 
@@ -142,8 +156,8 @@ object GeoQueries {
          |SELECT k, rank, fid FROM scored WHERE rank <= 3""".stripMargin) { (s, d) =>
       // the 100x path: sort-merge on the index cell, no full-index
       // broadcast — must equal the broadcast mode's oracle exactly
-      Knn.nearest(points(s, d).where(col("k") % 100 === 0), "k",
-          features(s, d), "fid", k = 3, mode = Knn.Shuffle)
+      Knn.nearestIndexed(points(s, d).where(col("k") % 100 === 0), "k",
+          featureIndex(s, d), "fid", k = 3, mode = Knn.Shuffle)
         .select("k", "rank", "fid")
     },
 
@@ -165,7 +179,7 @@ object GeoQueries {
       val untagged = points(s, d).where(col("k") % 50 === 0 &&
         TextFunctions.tagParse(col("wiki_raw")).isNull)
       val feats = features(s, d)
-      Knn.nearest(untagged, "k", feats, "fid", k = 3)
+      Knn.nearestIndexed(untagged, "k", featureIndex(s, d), "fid", k = 3)
         .join(feats.select(col("fid"), col("tag_key").as("suggested")), "fid")
         .select(col("k"), col("rank"), col("fid"), col("suggested"))
     },
