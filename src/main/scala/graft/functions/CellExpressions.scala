@@ -24,6 +24,12 @@ object CellRuntime {
   def parent(cell: Long, r: Int): Long = Cells.parent(cell, r)
   def tileX(cell: Long): Long = Cells.toXY(cell)._1
   def tileY(cell: Long): Long = Cells.toXY(cell)._2
+  def fromXY(r: Int, x: Long, y: Long): Long =
+    Cells.mkCell(r, Cells.interleave(x, y, r))
+  def bounds(cell: Long): ArrayData = {
+    val (latMin, latMax, lonMin, lonMax) = Cells.bounds(cell)
+    new GenericArrayData(Array(latMin, latMax, lonMin, lonMax))
+  }
   def ring(cell: Long, k: Int): ArrayData = new GenericArrayData(Cells.ring(cell, k))
   def disk(cell: Long, k: Int): ArrayData = new GenericArrayData(Cells.disk(cell, k))
   def pip(lat: Double, lon: Double, rings: ArrayData): Boolean = {
@@ -124,6 +130,38 @@ case class CellTileY(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** cell_from_xy(r, x, y) -> LONG: cell id from tile coordinates — the
+  * inverse of (cell_tile_x, cell_tile_y) at resolution r. */
+case class CellFromXY(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_from_xy"
+  override protected def nullSafeEval(r: Any, x: Any, y: Any): Any =
+    CellRuntime.fromXY(r.asInstanceOf[Int], x.asInstanceOf[Long],
+      y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, x, y) =>
+      s"graft.functions.CellRuntime.fromXY($r, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
+/** cell_bounds(cell) -> ARRAY<DOUBLE> [latMin, latMax, lonMin, lonMax]. */
+case class CellBounds(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_bounds"
+  override protected def nullSafeEval(cell: Any): Any =
+    CellRuntime.bounds(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.functions.CellRuntime.bounds($cell)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** ring(cell, k) -> ARRAY<LONG>: cells at Chebyshev distance exactly k. */
 case class CellRing(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -207,6 +245,9 @@ object GeoFunctions {
     column(CellParent(expression(cell), expression(r)))
   def cellTileX(cell: Column): Column = column(CellTileX(expression(cell)))
   def cellTileY(cell: Column): Column = column(CellTileY(expression(cell)))
+  def cellFromXY(r: Column, x: Column, y: Column): Column =
+    column(CellFromXY(expression(r), expression(x), expression(y)))
+  def cellBounds(cell: Column): Column = column(CellBounds(expression(cell)))
   def cellRing(cell: Column, k: Column): Column =
     column(CellRing(expression(cell), expression(k)))
   def cellDisk(cell: Column, k: Column): Column =
@@ -233,6 +274,8 @@ object GeoFunctions {
     add("cell_parent", e => CellParent(e(0), e(1)))
     add("cell_tile_x", e => CellTileX(e(0)))
     add("cell_tile_y", e => CellTileY(e(0)))
+    add("cell_from_xy", e => CellFromXY(e(0), e(1), e(2)))
+    add("cell_bounds", e => CellBounds(e(0)))
     add("cell_ring", e => CellRing(e(0), e(1)))
     add("cell_disk", e => CellDisk(e(0), e(1)))
     add("pip_contains", e => PipContains(e(0), e(1), e(2)))

@@ -69,6 +69,38 @@ object TileAgg {
         $"region_id", $"n")
   }
 
+  /** GeoJSON Feature per tile row — the leaflet-consumable coverage-map
+    * sink (the reference publishes per-region coverage maps; SURVEY.md
+    * §2.G2). Input needs (tile_z, tile_x, tile_y); every other column
+    * becomes a GeoJSON property (via to_json). Geometry is the tile's
+    * bounding quad, coordinates formatted %.6f (deterministic Java
+    * formatting — this is a SINK, spec-tested, not an oracle query).
+    * Pure per-row built-ins + the codegen cell expressions: streams
+    * through whole-stage codegen at any scale. */
+  def geoJsonFeatures(stats: DataFrame): DataFrame = {
+    import stats.sparkSession.implicits._
+    val propCols = stats.columns.filterNot(
+      Set("tile_z", "tile_x", "tile_y").contains)
+    val cell = GeoFunctions.cellFromXY($"tile_z".cast("int"),
+      $"tile_x".cast("long"), $"tile_y".cast("long"))
+    val b = GeoFunctions.cellBounds(cell)
+    val (latMin, latMax, lonMin, lonMax) =
+      (element_at(b, 1), element_at(b, 2), element_at(b, 3), element_at(b, 4))
+    def pt(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      format_string("[%.6f,%.6f]", lon, lat)
+    val ring = concat_ws(",",
+      pt(lonMin, latMin), pt(lonMax, latMin), pt(lonMax, latMax),
+      pt(lonMin, latMax), pt(lonMin, latMin))
+    val props =
+      if (propCols.isEmpty) lit("{}")
+      else to_json(struct(propCols.map(col): _*))
+    stats.select($"tile_z", $"tile_x", $"tile_y",
+      concat(
+        lit("""{"type":"Feature","geometry":{"type":"Polygon","coordinates":[["""),
+        ring,
+        lit("""]]},"properties":"""), props, lit("}")).as("feature"))
+  }
+
   /** Per-tile coverage: total points vs points matched to any region.
     * `points` must carry lat/lon + keyCol; `assigned` is assign() output. */
   def coverage(points: DataFrame, assigned: DataFrame, keyCol: String,

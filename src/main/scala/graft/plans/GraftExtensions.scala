@@ -73,6 +73,8 @@ object GraftExtensions {
     ext.injectFunction(fn("cell_disk", e => CellDisk(e(0), e(1))))
     ext.injectFunction(fn("cell_tile_x", e => CellTileX(e.head)))
     ext.injectFunction(fn("cell_tile_y", e => CellTileY(e.head)))
+    ext.injectFunction(fn("cell_from_xy", e => CellFromXY(e(0), e(1), e(2))))
+    ext.injectFunction(fn("cell_bounds", e => CellBounds(e.head)))
     ext.injectFunction(fn("pip_contains", e => PipContains(e(0), e(1), e(2))))
     ext.injectFunction(fn("pip_contains_packed",
       e => PipContainsPacked(e(0), e(1), e(2), e(3))))

@@ -84,6 +84,45 @@ class PipelineSpec extends SparkTestBase {
     assert(totals.values.toSet.size == 1, totals)
   }
 
+  test("tile GeoJSON sink: geometry equals cell bounds, properties round-trip") {
+    import graft.operators.TileAgg
+    import org.apache.spark.sql.types.StructType
+    val assigned = SpatialJoin.assign(GeoFixtures.points(spark, sfDir), "k",
+      SpatialJoin.coverDF(spark))
+    val stats = TileAgg.pyramid(assigned, zMax = 7, zMin = 6)
+    val schema = StructType.fromDDL(
+      "type STRING, geometry STRUCT<type: STRING, " +
+        "coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>, " +
+        "properties STRUCT<region_id: BIGINT, n: BIGINT>")
+    val rows = TileAgg.geoJsonFeatures(stats)
+      .select(col("tile_z"), col("tile_x"), col("tile_y"),
+        from_json(col("feature"), schema).as("f"))
+      .collect()
+    assert(rows.nonEmpty)
+    // one feature per (tile, region) row; n must round-trip the properties
+    val origs = stats.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getLong(4)).toMap
+    rows.foreach { r =>
+      val (z, x, y) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val f = r.getStruct(3)
+      assert(f.getString(0) == "Feature")
+      val geom = f.getStruct(1)
+      assert(geom.getString(0) == "Polygon")
+      val ring = geom
+        .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1).head
+      assert(ring.length == 5 && ring.head == ring.last) // closed quad
+      val cell = graft.core.Cells.mkCell(z,
+        graft.core.Cells.interleave(x, y, z))
+      val (latMin, latMax, lonMin, lonMax) = graft.core.Cells.bounds(cell)
+      def fmt(d: Double) = f"$d%.6f".toDouble
+      assert(ring.head.toSeq == Seq(fmt(lonMin), fmt(latMin)))
+      assert(ring(2).toSeq == Seq(fmt(lonMax), fmt(latMax)))
+      val props = f.getStruct(2)
+      assert(props.getLong(1) == origs((z, x, y, props.getLong(0))))
+    }
+  }
+
   test("Auto mode picks Broadcast for a small cover, Shuffle past the cap") {
     val cover = SpatialJoin.coverDF(spark)
     assert(cover.cellIds.length > 1)
