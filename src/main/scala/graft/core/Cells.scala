@@ -60,6 +60,37 @@ object Cells {
     m
   }
 
+  /** Base-4 key string of a cell: one digit per level, coarsest first;
+    * digit = x-bit | (y-bit << 1) at that level (south-origin y, matching
+    * tile_y). The PREFIX property makes it the storage-layout / tile-
+    * addressing key: quadkey(parent(c, rp)) == quadkey(c).substring(0, rp),
+    * so lexicographic key ranges are exactly cell-prefix ranges. */
+  def quadkey(cell: Long): String = {
+    val r = res(cell)
+    val m = morton(cell)
+    val sb = new java.lang.StringBuilder(r)
+    var j = r - 1
+    while (j >= 0) {
+      sb.append(('0' + ((m >>> (2 * j)) & 3L).toInt).toChar)
+      j -= 1
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[quadkey]]: resolution = key length. */
+  def fromQuadkey(qk: String): Long = {
+    require(qk.length <= MaxRes, s"quadkey longer than $MaxRes: $qk")
+    var m = 0L
+    var i = 0
+    while (i < qk.length) {
+      val d = qk.charAt(i) - '0'
+      require(d >= 0 && d <= 3, s"invalid quadkey char in: $qk")
+      m |= d.toLong << (2 * (qk.length - 1 - i))
+      i += 1
+    }
+    mkCell(qk.length, m)
+  }
+
   /** (x, y) of the cell in its 2^r x 2^r grid. */
   def toXY(cell: Long): (Long, Long) = {
     val r = res(cell)

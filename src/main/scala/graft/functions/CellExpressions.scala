@@ -30,6 +30,10 @@ object CellRuntime {
     val (latMin, latMax, lonMin, lonMax) = Cells.bounds(cell)
     new GenericArrayData(Array(latMin, latMax, lonMin, lonMax))
   }
+  def quadkey(cell: Long): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(Cells.quadkey(cell))
+  def fromQuadkey(qk: org.apache.spark.unsafe.types.UTF8String): Long =
+    Cells.fromQuadkey(qk.toString)
   def ring(cell: Long, k: Int): ArrayData = new GenericArrayData(Cells.ring(cell, k))
   def disk(cell: Long, k: Int): ArrayData = new GenericArrayData(Cells.disk(cell, k))
   def pip(lat: Double, lon: Double, rings: ArrayData): Boolean = {
@@ -162,6 +166,36 @@ case class CellBounds(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** cell_quadkey(cell) -> STRING: base-4 level-prefix key (Cells.quadkey —
+  * quadkey(parent(c, rp)) is a string prefix of quadkey(c), so key ranges
+  * are cell-prefix ranges: the tile-addressing / storage-layout codec). */
+case class CellQuadkey(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_quadkey"
+  override protected def nullSafeEval(cell: Any): Any =
+    CellRuntime.quadkey(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cell => s"graft.functions.CellRuntime.quadkey($cell)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** quadkey_cell(key STRING) -> LONG: inverse of cell_quadkey. */
+case class QuadkeyCell(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadkey_cell"
+  override protected def nullSafeEval(qk: Any): Any =
+    CellRuntime.fromQuadkey(qk.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, qk => s"graft.functions.CellRuntime.fromQuadkey($qk)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** ring(cell, k) -> ARRAY<LONG>: cells at Chebyshev distance exactly k. */
 case class CellRing(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -248,6 +282,8 @@ object GeoFunctions {
   def cellFromXY(r: Column, x: Column, y: Column): Column =
     column(CellFromXY(expression(r), expression(x), expression(y)))
   def cellBounds(cell: Column): Column = column(CellBounds(expression(cell)))
+  def cellQuadkey(cell: Column): Column = column(CellQuadkey(expression(cell)))
+  def quadkeyCell(qk: Column): Column = column(QuadkeyCell(expression(qk)))
   def cellRing(cell: Column, k: Column): Column =
     column(CellRing(expression(cell), expression(k)))
   def cellDisk(cell: Column, k: Column): Column =
@@ -276,6 +312,8 @@ object GeoFunctions {
     add("cell_tile_y", e => CellTileY(e(0)))
     add("cell_from_xy", e => CellFromXY(e(0), e(1), e(2)))
     add("cell_bounds", e => CellBounds(e(0)))
+    add("cell_quadkey", e => CellQuadkey(e(0)))
+    add("quadkey_cell", e => QuadkeyCell(e(0)))
     add("cell_ring", e => CellRing(e(0), e(1)))
     add("cell_disk", e => CellDisk(e(0), e(1)))
     add("pip_contains", e => PipContains(e(0), e(1), e(2)))

@@ -75,6 +75,8 @@ object GraftExtensions {
     ext.injectFunction(fn("cell_tile_y", e => CellTileY(e.head)))
     ext.injectFunction(fn("cell_from_xy", e => CellFromXY(e(0), e(1), e(2))))
     ext.injectFunction(fn("cell_bounds", e => CellBounds(e.head)))
+    ext.injectFunction(fn("cell_quadkey", e => CellQuadkey(e.head)))
+    ext.injectFunction(fn("quadkey_cell", e => QuadkeyCell(e.head)))
     ext.injectFunction(fn("pip_contains", e => PipContains(e(0), e(1), e(2))))
     ext.injectFunction(fn("pip_contains_packed",
       e => PipContainsPacked(e(0), e(1), e(2), e(3))))

@@ -109,6 +109,27 @@ object GeoQueries {
         .select("tile_x", "tile_y", "pages", "matched")
     },
 
+    QueryDef.sql("q_geo_quadkey", {
+      // oracle derives each digit from the Morton payload arithmetically
+      // and the coarse key by STRING PREFIX, while the engine goes through
+      // cell_parent — so the quadkey prefix property itself is what the
+      // hash compare verifies
+      val digits = (1 to 12).map { p =>
+        val shift = 2 * (12 - p)
+        s"CAST(((cell12 & 16777215) >> $shift) & 3 AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH pts AS (${pointsSql}),
+         |c AS (SELECT k, ${cellSqlR12} AS cell12 FROM pts)
+         |SELECT k, ($digits) AS qk12,
+         |  substr(($digits), 1, 7) AS qk7
+         |FROM c""".stripMargin
+    }) { (s, d) =>
+      points12(s, d).select(col("k"),
+        GeoFunctions.cellQuadkey(col("cell12")).as("qk12"),
+        GeoFunctions.cellQuadkey(
+          GeoFunctions.cellParent(col("cell12"), lit(7))).as("qk7"))
+    },
+
     QueryDef.sql("q_geo_tile_pyramid", {
       // oracle recomputes every level INDEPENDENTLY from the raw matches;
       // the engine aggregates once at zMax and rolls coarser levels up

@@ -153,7 +153,7 @@ object OsmXml {
   /** Stitch way node-ref polylines into closed rings (open form: the
     * closing ref is dropped). Matching is by endpoint node ref; segments
     * reverse freely (OSM ways have arbitrary direction). */
-  private[sources] def stitchRings(segs: Seq[Seq[Long]]): Seq[Seq[Long]] = {
+  private[graft] def stitchRings(segs: Seq[Seq[Long]]): Seq[Seq[Long]] = {
     val pool = scala.collection.mutable.ArrayBuffer(
       segs.filter(_.length >= 2): _*)
     val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]

@@ -108,6 +108,30 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("stitchRings reassembles randomly segmented, reversed, shuffled cycles") {
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic test
+    def edges(sq: Seq[Long]) = sq.indices.map { i =>
+      val a = sq(i); val b = sq((i + 1) % sq.length)
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    (0 until 60).foreach { _ =>
+      val n = 5 + rnd.nextInt(20)
+      val cycle = (0 until n).map(_.toLong + 100)
+      val k = 1 + rnd.nextInt(5)
+      val cuts = rnd.shuffle((0 until n).toList).take(k).sorted
+      val segs = (cuts :+ (cuts.head + n)).sliding(2).collect {
+        case List(a, b) => (a to b).map(i => cycle(i % n))
+      }.toList
+      val mangled = rnd.shuffle(
+        segs.map(s => if (rnd.nextBoolean()) s.reverse else s))
+      val rings = OsmXml.stitchRings(mangled)
+      assert(rings.length == 1)
+      val ring = rings.head
+      assert(ring.length == n && ring.toSet == cycle.toSet)
+      assert(edges(ring) == edges(cycle)) // adjacency up to rotation/flip
+    }
+  }
+
   test("polygon JSON round-trips and produces the same covers") {
     val dir = java.nio.file.Files.createTempDirectory("graftpoly").toString
     val path = s"$dir/polys.jsonl"

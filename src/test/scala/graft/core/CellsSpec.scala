@@ -104,4 +104,19 @@ class CellsSpec extends AnyFunSuite with PropHelpers {
       assert(Cells.res(c) == r)
     }
   }
+
+  test("quadkey: round-trip, prefix == parent, length == resolution") {
+    forAll(latGen, lonGen, Gen.chooseNum(1, 12)) { (lat, lon, r) =>
+      val c = Cells.encode(lat, lon, r)
+      val qk = Cells.quadkey(c)
+      assert(qk.length == r && qk.forall(ch => ch >= '0' && ch <= '3'))
+      assert(Cells.fromQuadkey(qk) == c) // round-trip
+      // THE property that makes it a storage key: ancestor keys are
+      // string prefixes, so lexicographic ranges == cell-prefix ranges
+      (1 to r).foreach { rp =>
+        assert(Cells.quadkey(Cells.parent(c, rp)) == qk.substring(0, rp))
+      }
+    }
+    intercept[IllegalArgumentException](Cells.fromQuadkey("0041x"))
+  }
 }
