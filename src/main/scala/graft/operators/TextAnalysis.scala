@@ -81,6 +81,37 @@ object TextAnalysis {
       graft.functions.RollingFunctions.rollingMinSketch(col(textCol), w, k).as("sketch"),
       graft.functions.RollingFunctions.rollingMinFingerprint(col(textCol), w).as("min_fp"))
 
+  /** Boilerplate removal by document frequency (the C4-style curation
+    * step): split each document on `delim` (a LITERAL, not regex), drop
+    * every unit that appears in more than `maxDocFreq` distinct documents
+    * (site chrome / legal footers / navigation when delim is a newline or
+    * sentence break; df-pruned vocabulary when delim is a space), and
+    * reassemble the survivors IN ORIGINAL ORDER with the same delimiter.
+    * Documents whose every unit is boilerplate come back as ''.
+    *
+    * Scale shape: one hash agg for the df counts (partial+final; the unit
+    * string is the shuffle key), the hot-unit set is vocabulary-sized —
+    * broadcast anti join — and reassembly is one shuffle on doc id with
+    * order restored by array_sort over (pos, unit), so the result is
+    * independent of partitioning. */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        delim: String, maxDocFreq: Long): DataFrame = {
+    val units = docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim), -1)).as(Seq("pos", "unit")))
+    val hot = units.groupBy(col("unit"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select("unit")
+    val kept = units.join(broadcast(hot), Seq("unit"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          x => x.getField("unit")), delim).as("clean_text"))
+    docs.select(col(idCol)).join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-language top-k terms by DOCUMENT frequency (the corpus-statistics
     * op behind stopword lists and TF-IDF vocabularies). Distinct words per
     * doc first (array_distinct before explode: a word counts once per doc),

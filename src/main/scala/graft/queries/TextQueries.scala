@@ -361,6 +361,27 @@ object TextQueries {
         .select(col("lang"), col("word"), col("df"), col("rank"))
     },
 
+    QueryDef.sql("q_text_boilerplate",
+      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |l AS (SELECT doc_id, u.pos AS pos, u.unit AS unit
+        |  FROM (SELECT doc_id,
+        |          unnest([{'pos': i, 'unit': p[i+1]} for i in range(0, len(p))]) AS u
+        |        FROM parts) _),
+        |hot AS (SELECT unit FROM l GROUP BY unit
+        |  HAVING count(DISTINCT doc_id) > 400),
+        |kept AS (SELECT * FROM l WHERE unit NOT IN (SELECT unit FROM hot))
+        |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(unit ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin) { (s, d) =>
+      // C4-style boilerplate removal: units present in > maxDocFreq
+      // distinct docs are dropped, survivors rejoin in original order
+      // (space-delimited here — the fixture has no sentence breaks; the
+      // operator takes any literal delimiter)
+      TextAnalysis.removeBoilerplate(t(s, d, "documents"),
+        "doc_id", "text", delim = " ", maxDocFreq = 400L)
+    },
+
     QueryDef.sql("q_text_fingerprint",
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint

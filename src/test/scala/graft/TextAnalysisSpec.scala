@@ -7,6 +7,27 @@ import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkTestBase {
 
+  test("removeBoilerplate: df-pruning, order preserved, edges, invariance") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 'chrome' is in 3 docs (> maxDocFreq=2) -> dropped; everything else
+    // survives IN ORDER; doc 4 is all-boilerplate -> empty string
+    val docs = Seq(
+      (1L, "alpha chrome beta chrome gamma"),
+      (2L, "chrome delta"),
+      (3L, "epsilon chrome"),
+      (4L, "chrome chrome")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.removeBoilerplate(df, "doc_id", "text", " ", 2L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run(docs)
+    assert(got == Map(1L -> "alpha beta gamma", 2L -> "delta",
+      3L -> "epsilon", 4L -> ""))
+    // duplicate units inside ONE doc count once toward df ('chrome' twice
+    // in doc 1 and 4 is still df=3, not 5)
+    assert(run(docs.repartition(7)) == got) // partitioning invariance
+  }
+
   test("rolling hash: windows are consistent with direct recomputation") {
     val s = "the quick brown fox jumps over the lazy dog repeatedly"
     val w = 8
