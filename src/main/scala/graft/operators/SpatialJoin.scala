@@ -143,8 +143,16 @@ object SpatialJoin {
       GeoFunctions.cellEncode($"lat", $"lon", lit(rMax)))
       .where(GeoFunctions.cellParent($"cell_rmax", lit(rMin))
         .isInCollection(coarseSet))
+    // probe only the resolutions that actually OCCUR in the cover (known
+    // driver-side from cellIds at zero job cost): a compact cover rarely
+    // uses every level — e.g. a coarse-only cover of a large region makes
+    // the candidate explode 1x instead of (rMax-rMin+1)x per point
+    val probeRes: Seq[Int] = {
+      val present = cover.cellIds.map(Cells.res).distinct.sorted.toSeq
+      if (present.isEmpty) Seq(rMin) else present
+    }
     val probes = withCell.withColumn("cell",
-      explode(array((rMin to rMax).map(r =>
+      explode(array(probeRes.map(r =>
         GeoFunctions.cellParent($"cell_rmax", lit(r))): _*)))
 
     val candidates = resolveMode(mode, cover) match {

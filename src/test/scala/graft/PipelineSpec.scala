@@ -123,6 +123,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("probe explode covers only the resolutions present in the cover") {
+    import graft.core.{Cells, Geo}
+    val quad = Polygons.all.filter(_.name == "quad")
+    val cover88 = SpatialJoin.coverDF(spark, quad, rMin = 8, rMax = 8)
+    assert(cover88.cellIds.map(Cells.res).distinct.toSeq == Seq(8))
+    val pts = GeoFixtures.points(spark, sfDir)
+    val df = SpatialJoin.assign(pts, "k", cover88, rMin = 8, rMax = 8)
+    // the Generate explodes exactly ONE parent (not rMax-rMin+1 of them)
+    val gen = df.queryExecution.optimizedPlan.toString
+      .linesIterator.find(_.contains("explode")).get
+    assert("cell_parent".r.findAllIn(gen).size == 1, gen)
+    // semantics unchanged: equals the naive per-point ray cast
+    val got = df.select("k", "region_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pts.select("k", "lat", "lon").collect().flatMap { r =>
+      quad.filter(p => Geo.contains(r.getDouble(1), r.getDouble(2), p.rings))
+        .map(p => (r.getLong(0), p.regionId))
+    }.toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("Auto mode picks Broadcast for a small cover, Shuffle past the cap") {
     val cover = SpatialJoin.coverDF(spark)
     assert(cover.cellIds.length > 1)

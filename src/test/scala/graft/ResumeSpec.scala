@@ -110,5 +110,13 @@ class ResumeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell_prefix"),
       plan.take(1500))
+    // pruning is REAL, not just a plan string: the filtered scan touches
+    // strictly fewer files than the full scan
+    import org.apache.spark.sql.functions.input_file_name
+    val allFiles = stored.select(input_file_name()).distinct().count()
+    val prunedFiles = stored.where(col("cell_prefix") === some.head)
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruned=$prunedFiles all=$allFiles")
   }
 }
