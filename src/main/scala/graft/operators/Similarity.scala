@@ -130,7 +130,7 @@ object Similarity {
     * adaptive mode) — probes of hot buckets take a salt from their qid,
     * the corpus rows of hot buckets replicate xS, cold buckets pay
     * nothing. Results are identical across salting configurations
-    * (asserted in SimilaritySpec): the candidate pair SET is unchanged,
+    * (asserted in KnnSpec): the candidate pair SET is unchanged,
     * only its partitioning spreads. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, planes: Int,

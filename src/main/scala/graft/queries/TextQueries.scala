@@ -299,7 +299,7 @@ object TextQueries {
     }) { (s, d) =>
       // Multiprobe LSH ANN: bucket-local candidates (Hamming<=1 probes) +
       // exact quantized rescoring. Deterministic end-to-end, hence fully
-      // oracle-checked; recall vs brute force is asserted in SimilaritySpec.
+      // oracle-checked; recall vs brute force is asserted in KnnSpec.
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb.where(col("vec_id") % 97 === 0), emb,
         "vec_id", "embedding", k = 5, dim = 64, planes = 8)
