@@ -152,7 +152,10 @@ object OsmXml {
 
   /** Stitch way node-ref polylines into closed rings (open form: the
     * closing ref is dropped). Matching is by endpoint node ref; segments
-    * reverse freely (OSM ways have arbitrary direction). */
+    * reverse freely (OSM ways have arbitrary direction). Assumes distinct
+    * rings of one role set are NODE-DISJOINT (the OSM multipolygon
+    * validity rule — rings may not touch); self-touching inputs would
+    * close at the first revisit of the start node rather than fail. */
   private[graft] def stitchRings(segs: Seq[Seq[Long]]): Seq[Seq[Long]] = {
     val pool = scala.collection.mutable.ArrayBuffer(
       segs.filter(_.length >= 2): _*)
