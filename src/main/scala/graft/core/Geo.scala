@@ -157,9 +157,12 @@ object Geo {
         // else fully outside -> drop
       } else if (r >= rMax) {
         out += cell // boundary cell at max refinement: emit (sound)
-      } else if (r < rMin) {
-        Cells.children(cell).foreach(visit)
       } else {
+        // boundary crosses the cell and r < rMax: refine. Recursion
+        // invariant: boundary cells are EMITTED only at rMax (branch
+        // above); interior cells emit at the coarsest r at which they
+        // become fully interior. Seeding starts at rMin, so r < rMin
+        // never reaches this point.
         Cells.children(cell).foreach(visit)
       }
     }

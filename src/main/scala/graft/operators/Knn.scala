@@ -60,10 +60,17 @@ object Knn {
       fidCol, k, indexRes, maxRounds, mode)
 
   /** kNN over a prebuilt [[buildIndex]] result (reuse the index across
-    * query batches; `indexRes` must match the build). */
+    * query batches; `indexRes` must match the build).
+    *
+    * `keyCol` must uniquely identify a point: two rows sharing a key would
+    * share one top-k window (mixing their candidates) — the semantics are
+    * only defined for unique keys. The pending counter is nevertheless
+    * robust to accidental duplicates (it counts DISTINCT keys, matching
+    * the per-key doneKeys decrement, so the loop still terminates). */
   def nearestIndexed(points: DataFrame, keyCol: String, fIdx: DataFrame,
                      fidCol: String, k: Int, indexRes: Int = 7,
                      maxRounds: Int = 12, mode: Mode = Auto()): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -125,7 +132,8 @@ object Knn {
       // GROWING union every round); the final union is one plan at the end
       resolvedParts += candidates.join(doneKeys, "__k")
 
-      if (pending < 0L) pending = unresolved.count() // first round only
+      // first round only; DISTINCT keys, the unit doneKeys.count decrements
+      if (pending < 0L) pending = unresolved.select($"__k").distinct().count()
       pending -= doneKeys.count() // cheap: count over a checkpointed frame
       unresolved = unresolved.join(doneKeys, Seq("__k"), "left_anti")
         .localCheckpoint(true)

@@ -16,6 +16,24 @@ import org.apache.spark.sql.SparkSession
  */
 object SessionCaches {
 
+  /** Eagerly unpersist the PERSISTED ancestor of a derived frame.
+    *
+    * `Dataset.localCheckpoint` returns a frame whose `queryExecution.toRdd`
+    * is a fresh MapPartitionsRDD OVER the checkpointed RDD — calling
+    * `unpersist` on `toRdd` itself is a no-op (the round-3 ADVICE finding:
+    * memo evictions "eagerly unpersisting" that way still leaked blocks
+    * until the full sweep). This walks the narrow-dependency chain down to
+    * the first RDD actually registered at a storage level and unpersists
+    * that one. Swallows failures from already-stopped sessions. */
+  def unpersistCheckpointed(df: org.apache.spark.sql.Dataset[_]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != StorageLevel.NONE) { r.unpersist(blocking = false); () }
+      else r.dependencies.foreach(d => walk(d.rdd))
+    try walk(df.queryExecution.toRdd)
+    catch { case _: Throwable => () } // session may already be stopped
+  }
+
   def clear(spark: SparkSession): Unit = {
     graft.queries.TextFixtures.clearMemo()
     graft.queries.GeoQueries.clearIndexMemo()

@@ -25,7 +25,12 @@ object GeoQueries {
   private val idxCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private[graft] def clearIndexMemo(): Unit = idxCache.clear()
+  /** Evicted index frames unpersist their checkpoint blocks eagerly (the
+    * leak class SessionCaches exists for), not just drop the map entry. */
+  private[graft] def clearIndexMemo(): Unit = {
+    idxCache.values.forEach(graft.plans.SessionCaches.unpersistCheckpointed(_))
+    idxCache.clear()
+  }
 
   private def featureIndex(s: SparkSession, d: String): DataFrame = {
     if (idxCache.size() >= 4 && !idxCache.containsKey((s, d))) clearIndexMemo()

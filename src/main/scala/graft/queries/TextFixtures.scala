@@ -71,12 +71,11 @@ private[graft] object TextFixtures {
   }
 
   /** Drop all memoized frames and unpersist their checkpoint blocks (bench
-    * hygiene; see plans.SessionCaches). */
+    * hygiene; see plans.SessionCaches). The unpersist walks down to the
+    * PERSISTED ancestor RDD — the memoized frame's own toRdd is a derived
+    * MapPartitionsRDD over it, on which unpersist would be a no-op. */
   private[graft] def clearMemo(): Unit = {
-    bandedCache.values.forEach { df =>
-      try df.queryExecution.toRdd.unpersist(blocking = false)
-      catch { case _: Throwable => () } // session may already be stopped
-    }
+    bandedCache.values.forEach(graft.plans.SessionCaches.unpersistCheckpointed(_))
     bandedCache.clear()
   }
 

@@ -236,15 +236,25 @@ class SourcesSpec extends SparkTestBase {
   test("banded-minhash memo is bounded and clearable") {
     import graft.queries.TextFixtures
     TextFixtures.clearMemo()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // same dir repeatedly -> one entry, memo hit returns the same frame
     val a = TextFixtures.bandedCached(spark, sfDir)
     val b = TextFixtures.bandedCached(spark, sfDir)
     assert(a eq b)
     assert(TextFixtures.memoSize == 1)
+    val aCount = a.count() // read BEFORE clearing: the frame dies with it
+    // the memoized frame pinned at least one new checkpoint RDD...
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
     TextFixtures.clearMemo()
     assert(TextFixtures.memoSize == 0)
+    // ...and clearMemo UNPERSISTED it (the eager path walks down to the
+    // persisted ancestor — unpersisting the derived toRdd was a no-op
+    // that left the blocks pinned; post-fix the evicted frame is dead)
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !remaining.contains(id)))
     // cleared memo recomputes, same content
     val c = TextFixtures.bandedCached(spark, sfDir)
-    assert(c.count() == a.count())
+    assert(c.count() == aCount)
   }
 }
