@@ -114,9 +114,16 @@ object OsmXml {
     * ring sets and members referencing missing ways fail loudly. */
   def boundaryPolygons(objs: Seq[OsmObject]): Seq[graft.core.Polygons.PolyPart] = {
     import graft.core.{Geo, Polygons}
-    val nodes = objs.iterator.filter(_.featureType == "node")
-      .map(o => o.featureId -> (o.lon.getOrElse(Double.NaN),
-        o.lat.getOrElse(Double.NaN))).toMap
+    // nodes without BOTH coordinates never enter the map: a ring vertex
+    // must fail loudly at lookup (with the node id), never silently become
+    // NaN — NaN comparisons are all-false and would corrupt covers/PIP
+    // downstream, contradicting the stitcher's fail-loudly contract
+    val nodes = objs.iterator.filter(o =>
+        o.featureType == "node" && o.lat.isDefined && o.lon.isDefined)
+      .map(o => o.featureId -> (o.lon.get, o.lat.get)).toMap
+    val coordless = objs.iterator.filter(o =>
+        o.featureType == "node" && (o.lat.isEmpty || o.lon.isEmpty))
+      .map(_.featureId).toSet
     val ways = objs.iterator.filter(_.featureType == "way")
       .map(o => o.featureId -> o.ndRefs).toMap
     val rels = objs.filter(o => o.featureType == "relation" &&
@@ -132,7 +139,9 @@ object OsmXml {
         ringRefs.flatMap { nid =>
           val (lon, lat) = nodes.getOrElse(nid,
             throw new IllegalArgumentException(
-              s"relation ${rel.featureId} references missing node $nid"))
+              if (coordless(nid))
+                s"relation ${rel.featureId} references node $nid without lat/lon"
+              else s"relation ${rel.featureId} references missing node $nid"))
           Seq(lon, lat)
         }.toArray
       }
@@ -177,13 +186,53 @@ object OsmXml {
     rings.toSeq
   }
 
-  /** Distributed parse -> driver-side boundary assembly. The polygon set
-    * is the SMALL dimension of the spatial join (the same reasoning as
-    * SpatialJoin.coverDF computing covers driver-side); the pages corpus
-    * is the big side. */
+  /** Distributed parse -> EXECUTOR-SIDE filtering -> driver-side boundary
+    * assembly. The polygon set being the small join dimension justifies
+    * driver-side STITCHING, not driver-side FILTERING: a planet extract
+    * holds billions of nodes of which only the boundary-relevant ones may
+    * ever reach the driver. The filter chain is three distributed passes
+    * over one parsed, executor-disk-persisted dataset:
+    *
+    *   1. boundary/multipolygon relations (tiny by construction — collected);
+    *   2. ways semi-joined on the relations' member way ids (broadcast —
+    *      the id list is bounded by total boundary membership);
+    *   3. nodes semi-joined on those ways' exploded nd refs (plain equi
+    *      semi-join, NOT an in-collection literal: the boundary vertex set
+    *      can reach tens of millions on a planet extract, so it stays a
+    *      relation and AQE picks the join strategy).
+    *
+    * Only the filtered subset — relations + member ways + ring vertices —
+    * is collected into [[boundaryPolygons]]; the stitcher itself is
+    * genuinely small once inputs are filtered. */
   def readBoundaries(spark: SparkSession,
-                     pathGlob: String): Seq[graft.core.Polygons.PolyPart] =
-    boundaryPolygons(read(spark, pathGlob).collect().toSeq)
+                     pathGlob: String): Seq[graft.core.Polygons.PolyPart] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parse once, spill to executor-local disk: the three passes below
+    // re-read the parse, not the XML
+    val objs = read(spark, pathGlob)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val rels = objs.filter(o => o.featureType == "relation" &&
+          o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
+        .collect().toSeq
+      val wayIds = rels.flatMap(_.members.collect {
+        case OsmMember("way", ref, _) => ref
+      }).distinct
+      val waysDs = objs.filter(col("featureType") === "way")
+        .join(broadcast(wayIds.toDF("__ref")),
+          col("featureId") === col("__ref"), "left_semi")
+        .as[OsmObject]
+      val nodeRefs = waysDs.select(explode(col("ndRefs")).as("__ref")).distinct()
+      val nodesDs = objs.filter(col("featureType") === "node")
+        .join(nodeRefs, col("featureId") === col("__ref"), "left_semi")
+        .as[OsmObject]
+      boundaryPolygons(rels ++ waysDs.collect() ++ nodesDs.collect())
+    } finally {
+      objs.unpersist(blocking = false)
+      ()
+    }
+  }
 
   /** Feature relation for the tag-match join: objects carrying any
     * wikipedia tag, with the normalized key and error routing columns

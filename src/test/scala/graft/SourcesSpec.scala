@@ -108,6 +108,73 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("readBoundaries filters executor-side: 10^6 irrelevant nodes, identical PolyParts") {
+    // a planet-extract-shaped input: a handful of boundary relations
+    // drowning in bulk nodes/ways that have nothing to do with boundaries.
+    // The distributed path (relation scan -> way semi-join -> node
+    // semi-join -> collect the tiny subset) must assemble byte-identical
+    // PolyParts to the pure stitcher fed the full parse.
+    val sb = new StringBuilder(64 << 20)
+    sb ++= "<?xml version='1.0' encoding='UTF-8'?>\n<osm version=\"0.6\">\n"
+    sb ++= """  <node id="1" lat="0.001" lon="0.001"/>
+             |  <node id="2" lat="10.001" lon="0.001"/>
+             |  <node id="3" lat="10.001" lon="10.001"/>
+             |  <node id="4" lat="0.001" lon="10.001"/>
+             |""".stripMargin
+    var i = 0
+    while (i < 1000000) { // bulk nodes: must never reach the driver
+      sb ++= "  <node id=\""; sb ++= (100000 + i).toString
+      sb ++= "\" lat=\"1.0\" lon=\"1.0\"/>\n"
+      i += 1
+    }
+    // bulk non-boundary ways + a non-boundary relation: also filtered out
+    sb ++= """  <way id="9000"><nd ref="100000"/><nd ref="100001"/></way>
+             |  <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+             |  <way id="101"><nd ref="1"/><nd ref="4"/><nd ref="3"/></way>
+             |  <relation id="8000">
+             |    <member type="way" ref="9000" role=""/>
+             |    <tag k="type" v="route"/>
+             |  </relation>
+             |  <relation id="200">
+             |    <member type="way" ref="100" role="outer"/>
+             |    <member type="way" ref="101" role="outer"/>
+             |    <tag k="type" v="boundary"/>
+             |  </relation>
+             |</osm>""".stripMargin
+    val xml = sb.toString
+    val dir = java.nio.file.Files.createTempDirectory("graftosmbig").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/big.osm"), xml)
+    val dist = OsmXml.readBoundaries(spark, s"$dir/big.osm")
+    val full = OsmXml.boundaryPolygons(OsmXml.parseDocument(xml).toSeq)
+    assert(dist.map(p => (p.regionId, p.part)) == full.map(p => (p.regionId, p.part)))
+    dist.zip(full).foreach { case (a, b) =>
+      assert(a.rings.length == b.rings.length)
+      a.rings.zip(b.rings).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
+    }
+    assert(dist.length == 1 && dist.head.regionId == 200L)
+  }
+
+  test("boundary assembly fails loudly on a ring node without coordinates") {
+    val xml =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <node id="1" lat="0.001" lon="0.001"/>
+        |  <node id="2" lat="10.001" lon="0.001"/>
+        |  <node id="3"/>
+        |  <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="1"/></way>
+        |  <relation id="200">
+        |    <member type="way" ref="100" role="outer"/>
+        |    <tag k="type" v="boundary"/>
+        |  </relation>
+        |</osm>""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      OsmXml.boundaryPolygons(OsmXml.parseDocument(xml).toSeq)
+    }
+    // the pre-fix behavior silently mapped node 3 to NaN vertices (NaN
+    // comparisons are all-false -> covers/PIP corrupt quietly)
+    assert(e.getMessage.contains("node 3") && e.getMessage.contains("without lat/lon"))
+  }
+
   test("stitchRings reassembles randomly segmented, reversed, shuffled cycles") {
     val rnd = new scala.util.Random(42) // fixed seed: deterministic test
     def edges(sq: Seq[Long]) = sq.indices.map { i =>
