@@ -131,18 +131,60 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
-  /** Candidate near-dup pairs by shared sketch hashes (explode + self-join
-    * on the hash — bucket-local, the scale path). The exploded sketch is
-    * materialized once so the hash scan isn't recomputed on both join sides. */
-  def rollingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          w: Int = 16, k: Int = 8, minShared: Int = 2): DataFrame = {
-    val sk = rollingSketch(docs, idCol, textCol, w, k)
+  /** Exploded (id, h) sketch rows, MATERIALIZED once (localCheckpoint) —
+    * the shared input of pair generation and the overflow side output,
+    * exactly Dedup.minhashBanded's role for the MinHash family. */
+  def rollingHashes(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 16, k: Int = 8): DataFrame =
+    rollingSketch(docs, idCol, textCol, w, k)
       .select(col(idCol), explode(col("sketch")).as("h"))
       .localCheckpoint(true)
-    sk.as("a").join(sk.as("b"),
+
+  /** Candidate near-dup pairs by shared sketch hashes (explode + self-join
+    * on the hash — bucket-local, the scale path). The exploded sketch is
+    * materialized once so the hash scan isn't recomputed on both join sides.
+    *
+    * `maxBucket` caps the per-hash bucket before the self-join: one window
+    * hash shared by n documents (site chrome, repeated boilerplate —
+    * exactly what a CC-scale corpus contains) would otherwise emit n²
+    * candidate rows before the groupBy. Oversize buckets emit NO pairs and
+    * are routed through [[rollingOverflowHashes]] instead — the same
+    * cap-plus-side-output contract as Dedup.candidatePairsFromBanded. */
+  def rollingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int = 16, k: Int = 8, minShared: Int = 2,
+                          maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    rollingPairsFromHashes(rollingHashes(docs, idCol, textCol, w, k),
+      idCol, minShared, maxBucket)
+
+  /** Pair generation from an already-materialized [[rollingHashes]]
+    * relation — the entry point when pairs + overflow share one sketch
+    * computation. */
+  def rollingPairsFromHashes(hashes: DataFrame, idCol: String,
+                             minShared: Int = 2,
+                             maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val capped = hashes
+      .withColumn("__bn", count("*").over(wSz))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
+    capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count("*").as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** Side output for the cap: (h, n) rows whose hash bucket exceeded
+    * `maxBucket` and was excluded from pair generation — routed, never
+    * silently dropped. */
+  def rollingOverflowHashes(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int = 16, k: Int = 8,
+                            maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    rollingOverflowFromHashes(rollingHashes(docs, idCol, textCol, w, k), maxBucket)
+
+  /** Overflow side output from an already-materialized hashes relation. */
+  def rollingOverflowFromHashes(hashes: DataFrame,
+                                maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    hashes.groupBy(col("h")).agg(count("*").as("n"))
+      .where(col("n") > maxBucket)
 }

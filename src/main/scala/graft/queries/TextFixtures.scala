@@ -70,6 +70,20 @@ private[graft] object TextFixtures {
         w = 3, numHashes = 4, rowsPerBand = 2))
   }
 
+  private val rollingCache =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Materialized exploded rolling-hash sketch of dupDocs(d) (w=16, k=8),
+    * computed once per (session, dir): pairs and overflow side output
+    * share one sketch computation, the production composition. */
+  def rollingCached(s: SparkSession, d: String): DataFrame = {
+    if (rollingCache.size() >= BandedCacheMax && !rollingCache.containsKey((s, d)))
+      clearMemo()
+    rollingCache.computeIfAbsent((s, d), _ =>
+      graft.operators.TextAnalysis.rollingHashes(dupDocs(s, d), "doc_id", "text",
+        w = 16, k = 8))
+  }
+
   /** Drop all memoized frames and unpersist their checkpoint blocks (bench
     * hygiene; see plans.SessionCaches). The unpersist walks down to the
     * PERSISTED ancestor RDD — the memoized frame's own toRdd is a derived
@@ -77,7 +91,9 @@ private[graft] object TextFixtures {
   private[graft] def clearMemo(): Unit = {
     bandedCache.values.forEach(graft.plans.SessionCaches.unpersistCheckpointed(_))
     bandedCache.clear()
+    rollingCache.values.forEach(graft.plans.SessionCaches.unpersistCheckpointed(_))
+    rollingCache.clear()
   }
 
-  private[graft] def memoSize: Int = bandedCache.size()
+  private[graft] def memoSize: Int = bandedCache.size() + rollingCache.size()
 }

@@ -95,13 +95,33 @@ object TextQueries {
          |dh AS (SELECT DISTINCT doc_id, h FROM hh),
          |ranked AS (SELECT doc_id, h,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM dh),
-         |sk AS (SELECT doc_id, h FROM ranked WHERE rn <= 8)
+         |sk AS (SELECT doc_id, h FROM ranked WHERE rn <= 8),
+         |capped AS (SELECT doc_id, h FROM (
+         |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS bn FROM sk)
+         |  WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket})
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(count(*) AS BIGINT) AS shared
-         |FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id
+         |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, d) =>
-      TextAnalysis.rollingNearDupPairs(dupDocs(s, d), "doc_id", "text",
-        w = 16, k = 8, minShared = 2)
+      // bucket-capped like the MinHash arm (K3): a window hash shared by n
+      // docs emits no pairs past the cap, routed to the overflow query below
+      TextAnalysis.rollingPairsFromHashes(TextFixtures.rollingCached(s, d),
+        "doc_id", minShared = 2)
+    },
+
+    QueryDef.sql("q_dup_rolling_overflow",
+      s"""WITH docs AS ($dupDocsSql),
+         |${rollingHashCtes(16)},
+         |dh AS (SELECT DISTINCT doc_id, h FROM hh),
+         |ranked AS (SELECT doc_id, h,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM dh),
+         |sk AS (SELECT doc_id, h FROM ranked WHERE rn <= 8)
+         |SELECT h, CAST(count(*) AS BIGINT) AS n
+         |FROM sk GROUP BY h HAVING count(*) > 2""".stripMargin) { (s, d) =>
+      // the degenerate-bucket side output (cap 2 so small sf visibly
+      // exercises the overflow path; production default is DefaultMaxBucket)
+      TextAnalysis.rollingOverflowFromHashes(TextFixtures.rollingCached(s, d),
+        maxBucket = 2)
     },
 
     QueryDef.sql("q_dup_exact",

@@ -71,6 +71,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("rolling pairs cap degenerate buckets: n identical docs emit 0 pairs + overflow") {
+    import spark.implicits._
+    // adversarial corpus: the same boilerplate in 10 documents — every
+    // sketch hash is shared by all 10, so an uncapped self-join would emit
+    // 45 pairs per hash (O(n^2), the 100-TB killer). With maxBucket = 3
+    // every bucket overflows: NO pairs, all hashes routed to the side output.
+    val boiler = "identical legal footer text repeated across the whole site verbatim"
+    val docs = (1L to 10L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val hashes = TextAnalysis.rollingHashes(docs, "doc_id", "text")
+    val pairs = TextAnalysis.rollingPairsFromHashes(hashes, "doc_id",
+      minShared = 1, maxBucket = 3)
+    assert(pairs.count() == 0)
+    val overflow = TextAnalysis.rollingOverflowFromHashes(hashes, maxBucket = 3)
+      .collect()
+    assert(overflow.nonEmpty && overflow.forall(_.getLong(1) == 10L))
+    // a genuine (sub-cap) duplicate pair still surfaces alongside the pileup
+    val mixed = docs.unionByName(Seq(
+      (100L, "totally distinct content alpha beta gamma delta epsilon zeta eta"),
+      (101L, "XX totally distinct content alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text"))
+    val mp = TextAnalysis.rollingNearDupPairs(mixed, "doc_id", "text",
+        minShared = 2, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp == Set((100L, 101L)))
+  }
+
   test("language-ID discriminates genuine multilingual text") {
     import spark.implicits._
     val docs = Seq(
