@@ -27,12 +27,12 @@ object Pipeline {
 
   /** (url, lat, lon, region_id) exact region matches. */
   def matches(spark: SparkSession, pages: DataFrame,
-              mode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame =
+              mode: SpatialJoin.Mode = SpatialJoin.Auto()): DataFrame =
     SpatialJoin.assign(geocode(pages), "url", SpatialJoin.coverDF(spark), mode)
 
   /** Per-(tile, region) counts at zoom z — the coverage-map output. */
   def tileStats(spark: SparkSession, pages: DataFrame, z: Int = 8,
-                mode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame =
+                mode: SpatialJoin.Mode = SpatialJoin.Auto()): DataFrame =
     TileAgg.perRegion(matches(spark, pages, mode), z)
 
   /** The full coverage-map job (the reference's published page per area
@@ -41,7 +41,7 @@ object Pipeline {
     * text (extraction is the mandated per-row invariant, so the e2e
     * throughput metric includes it). One action, one output. */
   def coverageStats(spark: SparkSession, pages: DataFrame, z: Int = 8,
-                    joinMode: SpatialJoin.Mode = SpatialJoin.Broadcast): DataFrame = {
+                    joinMode: SpatialJoin.Mode = SpatialJoin.Auto()): DataFrame = {
     import org.apache.spark.sql.functions._
     val pts = pages.select(col("url"),
         TextFunctions.geoLat(col("html")).as("lat"),
@@ -73,7 +73,7 @@ object Pipeline {
     * number of input points actually processed this invocation. */
   def runResumable(spark: SparkSession, pages: DataFrame, outPath: String,
                    lineagePath: String, runId: String,
-                   mode: SpatialJoin.Mode = SpatialJoin.Broadcast): Long = {
+                   mode: SpatialJoin.Mode = SpatialJoin.Auto()): Long = {
     import graft.plans.{Lineage, Metrics}
     Metrics.withMetrics(spark, runId,
         s"$lineagePath-metrics/$runId-${System.nanoTime()}.json") {

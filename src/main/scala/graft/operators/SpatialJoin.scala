@@ -28,7 +28,7 @@ object SpatialJoin {
   case object Broadcast extends Mode
   case object Shuffle extends Mode
   /** Size-based pick between Broadcast and Shuffle, mirroring Knn.Auto: the
-    * cover's cell count is already on the driver (CoverSides.cellIds), so
+    * cover's cell count is already on the driver (CoverSides.nCells), so
     * the decision costs zero Spark jobs. At 100x a grown polygon-cover side
     * silently outgrows broadcast — Auto keeps the caller's plan valid
     * instead of OOMing every executor. */
@@ -57,11 +57,24 @@ object SpatialJoin {
     *            refine reads vertices in place from UnsafeArrayData with
     *            zero per-candidate allocation (vs materializing
     *            Array[Array[Double]] per row, the round-2 refine hot spot).
-    * Computed driver-side (the polygon set is the small dimension; at
-    * production scale this is a one-off distributed enrichment job over
-    * the polygon table). Memoized per polygon set + resolution. */
+    * Two construction paths, one consumer contract:
+    * [[coverDF]] computes covers driver-side from a local PolyPart seq
+    * (the committed-fixture / small-region-set path, memoized);
+    * [[coverDFDistributed]] maps Geo.cover over a polygon RELATION on
+    * executors — the production enrichment job for 10^5..10^6-polygon
+    * tables where driver-side cover build would serialize job startup.
+    *
+    * Both carry the same driver-side SUMMARY (never the full cell list —
+    * a planetary cover is too large to collect):
+    * `coarseCells`  — distinct rMin-ancestors of all cover cells, the
+    *                  coarse InSet prefilter; bounded by the global rMin
+    *                  grid (4^rMin ids — 16384 at r7), always collectible;
+    * `resolutions`  — distinct resolutions present (probe explode runs
+    *                  only these);
+    * `nCells`       — total cover rows (the Auto broadcast/shuffle pick). */
   final case class CoverSides(cells: DataFrame, parts: DataFrame,
-                              cellIds: Array[Long])
+                              coarseCells: Array[Long], resolutions: Seq[Int],
+                              nCells: Long, rMin: Int, rMax: Int)
 
   // memo key is the polygon CONTENT (regionId/part/ring values as value-
   // equal Seqs — PolyPart holds Arrays whose equals is identity), never an
@@ -108,7 +121,52 @@ object SpatialJoin {
       cellRows.toDF("cell", "region_id", "part"),
       partRows.toDF("region_id", "part", "rings_flat", "ring_offsets",
         "lat_min", "lat_max", "lon_min", "lon_max"),
-      cellRows.map(_._1).toArray)
+      cellRows.map(r => Cells.parent(r._1, rMin)).distinct.sorted.toArray,
+      cellRows.map(r => Cells.res(r._1)).distinct.sorted,
+      cellRows.length.toLong, rMin, rMax)
+  }
+
+  /** The production cover enrichment: Geo.cover mapped over a polygon
+    * RELATION `(region_id LONG, part INT, rings ARRAY<ARRAY<DOUBLE>>)` on
+    * executors. Covers never pass through the driver — only the bounded
+    * summary does (one small aggregation job: distinct rMin-ancestors,
+    * distinct resolutions, row count; see CoverSides). The cells side is
+    * materialized once (localCheckpoint) since the summary job and the
+    * candidate join both consume it.
+    *
+    * Per-polygon results are bit-identical to [[coverDF]]'s — same pure
+    * Geo.cover, asserted by PipelineSpec — so broadcast and shuffle joins
+    * behave identically over either construction. */
+  def coverDFDistributed(polygons: DataFrame,
+                         rMin: Int = RMin, rMax: Int = RMax): CoverSides = {
+    val spark = polygons.sparkSession
+    import spark.implicits._
+    val polys = polygons
+      .select(col("region_id").cast("long"), col("part").cast("int"),
+        col("rings").cast("array<array<double>>"))
+      .as[(Long, Int, Seq[Seq[Double]])]
+    val cells = polys.flatMap { case (rid, part, rings) =>
+        val arr = rings.iterator.map(_.toArray).toArray
+        Geo.cover(arr, rMin, rMax).map(c => (c, rid, part))
+      }.toDF("cell", "region_id", "part")
+      .localCheckpoint(true)
+    val partsDf = polys.map { case (rid, part, rings) =>
+        val arr = rings.iterator.map(_.toArray).toArray
+        val flat = arr.flatten.toSeq
+        val offsets = arr.scanLeft(0)(_ + _.length).toSeq
+        val (latMin, latMax, lonMin, lonMax) = Geo.bbox(arr)
+        (rid, part, flat, offsets, latMin, latMax, lonMin, lonMax)
+      }.toDF("region_id", "part", "rings_flat", "ring_offsets",
+        "lat_min", "lat_max", "lon_min", "lon_max")
+    // resolution lives in id bits 60..56 (Cells layout; ids are positive)
+    val summary = cells.agg(
+      collect_set(GeoFunctions.cellParent(col("cell"), lit(rMin))).as("cp"),
+      collect_set(shiftright(col("cell"), 56).bitwiseAND(lit(31L))).as("rs"),
+      count("*").as("n")).collect()(0)
+    CoverSides(cells, partsDf,
+      summary.getSeq[Long](0).sorted.toArray,
+      summary.getSeq[Long](1).map(_.toInt).sorted,
+      summary.getLong(2), rMin, rMax)
   }
 
   /** Assign containing regions to points. Input must carry `lat`,`lon` and
@@ -121,36 +179,35 @@ object SpatialJoin {
     * only arise for multi-part regions (a point in two parts of one
     * region). */
   /** Auto -> Broadcast | Shuffle by cover size; pass-through otherwise.
-    * Driver-side only (cellIds is already local), zero Spark jobs. */
+    * Driver-side only (nCells is already local), zero Spark jobs. */
   def resolveMode(mode: Mode, cover: CoverSides): Mode = mode match {
     case Auto(maxCells) =>
-      if (cover.cellIds.length <= maxCells) Broadcast else Shuffle
+      if (cover.nCells <= maxCells) Broadcast else Shuffle
     case m => m
   }
 
   def assign(points: DataFrame, keyCol: String, cover: CoverSides,
              mode: Mode = Auto(),
-             rMin: Int = RMin, rMax: Int = RMax,
              dedup: Boolean = true): DataFrame = {
     import points.sparkSession.implicits._
+    val rMin = cover.rMin
+    val rMax = cover.rMax
     // coarse prefilter BEFORE the 6-way probe explode: a matching point's
     // rMin-ancestor must be the rMin-ancestor of some cover cell, and that
-    // set is tiny — an InSet lookup eliminates most of the planet's points
-    // with one cell computation instead of a 6x row blowup + join
-    val coarseSet: Array[java.lang.Long] =
-      cover.cellIds.map(c => Long.box(Cells.parent(c, rMin))).distinct
+    // set is tiny (bounded by the global rMin grid) — an InSet lookup
+    // eliminates most of the planet's points with one cell computation
+    // instead of a 6x row blowup + join
+    val coarseSet: Array[java.lang.Long] = cover.coarseCells.map(Long.box)
     val withCell = points.withColumn("cell_rmax",
       GeoFunctions.cellEncode($"lat", $"lon", lit(rMax)))
       .where(GeoFunctions.cellParent($"cell_rmax", lit(rMin))
         .isInCollection(coarseSet))
-    // probe only the resolutions that actually OCCUR in the cover (known
-    // driver-side from cellIds at zero job cost): a compact cover rarely
-    // uses every level — e.g. a coarse-only cover of a large region makes
-    // the candidate explode 1x instead of (rMax-rMin+1)x per point
-    val probeRes: Seq[Int] = {
-      val present = cover.cellIds.map(Cells.res).distinct.sorted.toSeq
-      if (present.isEmpty) Seq(rMin) else present
-    }
+    // probe only the resolutions that actually OCCUR in the cover (in the
+    // driver-side summary at zero job cost): a compact cover rarely uses
+    // every level — e.g. a coarse-only cover of a large region makes the
+    // candidate explode 1x instead of (rMax-rMin+1)x per point
+    val probeRes: Seq[Int] =
+      if (cover.resolutions.isEmpty) Seq(rMin) else cover.resolutions
     val probes = withCell.withColumn("cell",
       explode(array(probeRes.map(r =>
         GeoFunctions.cellParent($"cell_rmax", lit(r))): _*)))

@@ -76,6 +76,19 @@ object GeoQueries {
       assigned(s, d, SpatialJoin.Shuffle).select("k", "region_id")
     },
 
+    QueryDef.sql("q_geo_join_distcover", spatialJoinOracle) { (s, d) =>
+      // the DISTRIBUTED cover-enrichment path (covers computed on
+      // executors from a polygon relation, only the bounded summary
+      // collected) must produce the exact same join rows — oracle-checked,
+      // not just spec-asserted
+      import s.implicits._
+      val polyDf = graft.core.Polygons.all
+        .map(p => (p.regionId, p.part, p.rings.map(_.toSeq).toSeq))
+        .toDF("region_id", "part", "rings")
+      SpatialJoin.assign(points(s, d), "k",
+        SpatialJoin.coverDFDistributed(polyDf)).select("k", "region_id")
+    },
+
     QueryDef.sql("q_geo_join_salted",
       s"""WITH pts AS (${pointsSql}),
          |${pipMatchesSql}

@@ -29,11 +29,25 @@ object PolygonJson {
           .map(_.toArray).toArray)
     }
 
-  /** Parts -> the join-ready cover sides. */
+  /** The polygon RELATION (distributed; nothing collected) — the input
+    * shape of SpatialJoin.coverDFDistributed. */
+  def readDF(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Parts -> the join-ready cover sides (driver-side covers; the
+    * small-region-set path). */
   def coverFromJson(spark: SparkSession, path: String,
                     rMin: Int = SpatialJoin.RMin,
                     rMax: Int = SpatialJoin.RMax): SpatialJoin.CoverSides =
     SpatialJoin.coverDF(spark, read(spark, path), rMin, rMax)
+
+  /** Parts -> cover sides with covers computed ON EXECUTORS — the
+    * production path for large polygon tables (SpatialJoin
+    * .coverDFDistributed doc). */
+  def coverFromJsonDistributed(spark: SparkSession, path: String,
+                               rMin: Int = SpatialJoin.RMin,
+                               rMax: Int = SpatialJoin.RMax): SpatialJoin.CoverSides =
+    SpatialJoin.coverDFDistributed(readDF(spark, path), rMin, rMax)
 
   /** Serialize parts as JSON lines (fixture round-trip + export). */
   def toJsonLines(parts: Seq[Polygons.PolyPart]): String =

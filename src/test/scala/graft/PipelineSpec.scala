@@ -123,13 +123,46 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("distributed cover enrichment: identical covers, summary and join rows") {
+    import graft.sources.PolygonJson
+    val dir = java.nio.file.Files.createTempDirectory("graftpolydist").toString
+    val path = s"$dir/polys.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      PolygonJson.toJsonLines(Polygons.all))
+    val dCover = PolygonJson.coverFromJsonDistributed(spark, path)
+    val lCover = SpatialJoin.coverDF(spark)
+    // covers computed ON EXECUTORS == driver-side covers, cell for cell
+    def cells(c: SpatialJoin.CoverSides) = c.cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cells(dCover) == cells(lCover))
+    // the driver-side summary agrees (the InSet prefilter + Auto decision
+    // see the same facts either way)
+    assert(dCover.coarseCells.toSeq == lCover.coarseCells.toSeq)
+    assert(dCover.resolutions == lCover.resolutions)
+    assert(dCover.nCells == lCover.nCells)
+    // the packed parts dim matches too (same refine inputs)
+    def parts(c: SpatialJoin.CoverSides) = c.parts.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2),
+        r.getSeq[Int](3))).toSet
+    assert(parts(dCover) == parts(lCover))
+    // and the join returns identical rows through either construction
+    val pts = GeoFixtures.points(spark, sfDir)
+    def run(c: SpatialJoin.CoverSides, m: SpatialJoin.Mode) =
+      SpatialJoin.assign(pts, "k", c, m).select("k", "region_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(lCover, SpatialJoin.Broadcast)
+    assert(base.nonEmpty)
+    assert(run(dCover, SpatialJoin.Broadcast) == base)
+    assert(run(dCover, SpatialJoin.Shuffle) == base)
+  }
+
   test("probe explode covers only the resolutions present in the cover") {
     import graft.core.{Cells, Geo}
     val quad = Polygons.all.filter(_.name == "quad")
     val cover88 = SpatialJoin.coverDF(spark, quad, rMin = 8, rMax = 8)
-    assert(cover88.cellIds.map(Cells.res).distinct.toSeq == Seq(8))
+    assert(cover88.resolutions == Seq(8))
     val pts = GeoFixtures.points(spark, sfDir)
-    val df = SpatialJoin.assign(pts, "k", cover88, rMin = 8, rMax = 8)
+    val df = SpatialJoin.assign(pts, "k", cover88)
     // the Generate explodes exactly ONE parent (not rMax-rMin+1 of them)
     val gen = df.queryExecution.optimizedPlan.toString
       .linesIterator.find(_.contains("explode")).get
@@ -146,14 +179,14 @@ class PipelineSpec extends SparkTestBase {
 
   test("Auto mode picks Broadcast for a small cover, Shuffle past the cap") {
     val cover = SpatialJoin.coverDF(spark)
-    assert(cover.cellIds.length > 1)
+    assert(cover.nCells > 1)
     // default cap: the fixture cover is tiny -> broadcast
     assert(SpatialJoin.resolveMode(SpatialJoin.Auto(), cover) ==
       SpatialJoin.Broadcast)
     // a cover larger than the cap flips the decision to shuffle — the
     // 100x-grown-cover path must not OOM-broadcast
     assert(SpatialJoin.resolveMode(
-      SpatialJoin.Auto(maxBroadcastCells = cover.cellIds.length - 1), cover) ==
+      SpatialJoin.Auto(maxBroadcastCells = cover.nCells - 1), cover) ==
       SpatialJoin.Shuffle)
     // explicit modes pass through untouched
     assert(SpatialJoin.resolveMode(SpatialJoin.Shuffle, cover) ==

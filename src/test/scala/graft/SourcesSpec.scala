@@ -8,6 +8,11 @@ import graft.sources.{OsmXml, PolygonJson}
 
 class SourcesSpec extends SparkTestBase {
 
+  /** Full (cell, region, part) content of a cover, any construction path. */
+  private def cellsOf(c: graft.operators.SpatialJoin.CoverSides): Seq[(Long, Long, Int)] =
+    c.cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+
   val osmXml =
     """<?xml version='1.0' encoding='UTF-8'?>
       |<osm version="0.6" generator="test">
@@ -97,7 +102,7 @@ class SourcesSpec extends SparkTestBase {
     val pts = Seq((1L, 2.0, 2.0), (2L, 5.0, 5.0), (3L, 12.0, 12.0))
       .toDF("k", "lat", "lon")
     val cover = SpatialJoin.coverDF(spark, parts, rMin = 5, rMax = 8)
-    val got = SpatialJoin.assign(pts, "k", cover, rMin = 5, rMax = 8)
+    val got = SpatialJoin.assign(pts, "k", cover)
       .select("k", "region_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 200L)))
@@ -209,7 +214,7 @@ class SourcesSpec extends SparkTestBase {
       Polygons.all.map(p => (p.regionId, p.part, p.name)).sorted)
     val cover1 = PolygonJson.coverFromJson(spark, path)
     val cover2 = graft.operators.SpatialJoin.coverDF(spark, Polygons.all)
-    assert(cover1.cellIds.sorted.sameElements(cover2.cellIds.sorted))
+    assert(cellsOf(cover1) == cellsOf(cover2))
   }
 
   test("cover memo keys by polygon CONTENT: equal-content seqs share covers") {
@@ -221,10 +226,10 @@ class SourcesSpec extends SparkTestBase {
       Polygons.PolyPart(p.regionId, p.part, p.name, p.rings.map(_.clone())))
     val a = graft.operators.SpatialJoin.coverDF(spark, Polygons.all)
     val b = graft.operators.SpatialJoin.coverDF(spark, copy)
-    assert(a.cellIds.sorted.sameElements(b.cellIds.sorted))
+    assert(cellsOf(a) == cellsOf(b))
     // and different content must NOT collide: drop one part -> different cover
     val c = graft.operators.SpatialJoin.coverDF(spark, Polygons.all.tail)
-    assert(!c.cellIds.sorted.sameElements(a.cellIds.sorted))
+    assert(cellsOf(c) != cellsOf(a))
   }
 
   test("LineageAgg: partitioning-independent count+xor") {
