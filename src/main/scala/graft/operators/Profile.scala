@@ -74,9 +74,9 @@ object Profile {
     *
     * Scale note: exact percentile buffers per-partition value counts —
     * fine through ~10^9 rows / bounded-cardinality columns; at the 100-TB
-    * tier swap `percentile` for `approx_percentile` in the same slot
-    * (bounded-memory QuantileSummaries state, rank error <= accuracy) —
-    * approximate results are NOT oracle-checked, the exact form is. */
+    * tier use [[profileQuantilesApprox]], the same slot with bounded-memory
+    * approx_percentile state — approximate results are NOT oracle-checked
+    * (rank-error-bound spec instead, see its doc), the exact form is. */
   def profileQuantiles(df: DataFrame, cols: Seq[String],
                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(cols.nonEmpty && ps.nonEmpty)
@@ -89,6 +89,34 @@ object Profile {
       .select(col("column"),
         element_at(typedLit(ps), col("pos") + 1).as("p"),
         col("col").as("q"))
+  }
+
+  /** The 100-TB quantile profiler: `approx_percentile` in the same slot as
+    * [[profileQuantiles]] — bounded-memory QuantileSummaries state
+    * (Greenwald–Khanna style), merge-associative so partial aggregation
+    * applies, rank error <= 1/accuracy. Same output shape (column, p, q;
+    * q cast to double for shape parity with the exact variant).
+    *
+    * NOT oracle-hashed, by design: the returned value is an actual data
+    * point whose choice depends on the summary-merge tree, so cross-engine
+    * bit-equality is not defined the way it is for the exact
+    * rank-interpolation formula. Correctness is asserted as a RANK-ERROR
+    * BOUND against the sorted data in CurationSpec instead — the
+    * documented contract of the approximation. */
+  def profileQuantilesApprox(df: DataFrame, cols: Seq[String],
+                             ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                             accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty && ps.nonEmpty && accuracy >= 1)
+    val psArr = s"array(${ps.map(p => s"${p}D").mkString(", ")})"
+    val aggs = cols.map(c =>
+      expr(s"approx_percentile(`$c`, $psArr, $accuracy)").as(s"__q_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__q_$c`").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, qs)")
+      .select(col("column"), posexplode(col("qs")))
+      .select(col("column"),
+        element_at(typedLit(ps), col("pos") + 1).as("p"),
+        col("col").cast("double").as("q"))
   }
 
   /** The 100-TB profiler: one pass, no Expand — n_distinct_est is the KMV

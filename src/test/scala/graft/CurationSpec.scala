@@ -78,6 +78,43 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("profileQuantilesApprox: rank error bounded by n/accuracy against sorted data") {
+    import graft.operators.Profile
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val vals = df.where(col("user_id").isNotNull)
+      .select(col("user_id").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    Seq(100, 10000).foreach { accuracy =>
+      val got = Profile.profileQuantilesApprox(df, Seq("user_id"), ps, accuracy)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      assert(got.keySet == ps.toSet)
+      ps.foreach { p =>
+        val q = got(p)
+        // approx_percentile returns an actual data value...
+        assert(vals.contains(q), s"acc=$accuracy p=$p q=$q not a data value")
+        // ...whose rank is within n/accuracy of the target rank (the
+        // documented Greenwald-Khanna bound; +1 for boundary ties)
+        val lo = vals.indexWhere(_ == q)      // first index holding q
+        val hi = vals.lastIndexWhere(_ == q)  // last index holding q
+        val target = p * (n - 1)
+        val err = if (target < lo) lo - target
+                  else if (target > hi) target - hi else 0.0
+        assert(err <= n.toDouble / accuracy + 1,
+          s"acc=$accuracy p=$p rank err $err > ${n.toDouble / accuracy + 1}")
+      }
+    }
+    // the exact variant stays the oracle-checked slot; at high accuracy the
+    // approx median must land inside the exact p25..p75 envelope (sanity
+    // cross-link between the two variants)
+    val exact = Profile.profileQuantiles(df, Seq("user_id"), ps)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val approxMed = Profile.profileQuantilesApprox(df, Seq("user_id"),
+      Seq(0.5), 10000).collect()(0).getDouble(2)
+    assert(approxMed >= exact(0.25) && approxMed <= exact(0.75))
+  }
+
   test("packShards shard ids are integer-exact and match floor semantics") {
     import spark.implicits._
     // offsets straddling several budget boundaries, incl. a doc exactly ON
