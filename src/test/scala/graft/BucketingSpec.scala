@@ -53,4 +53,65 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("quadkey-prefix layout: subtree reads scan only the subtree's files") {
+    import graft.plans.QuadkeyLayout
+    import graft.sources.Pages
+
+    // actual files SCANNED (not just rows returned): the numFiles metric
+    // of the executed FileSourceScan, through AQE's final plan
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      // execute THIS df's own plan (count() would build a separate query
+      // whose metrics never reach df.queryExecution.executedPlan)
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+
+    val pts = Pipeline.geocode(Pages.synthesize(spark, 2000, 8))
+    val dir = java.nio.file.Files.createTempDirectory("graftqk").toString + "/qk"
+    QuadkeyLayout.write(pts, dir, prefixRes = 3)
+
+    // NB: QuadkeyLayout.read, not a bare parquet read — all-digit partition
+    // values would otherwise be type-inferred to INT, eating leading zeros
+    val all = QuadkeyLayout.read(spark, dir)
+    val prefixes = all.select("qk_prefix").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(prefixes.length > 1 &&
+      prefixes.forall(p => p.length == 3 && p.forall(c => c >= '0' && c <= '3')))
+    // prefix property ties the layout to the codec: the partition value IS
+    // the first 3 digits of the row's full-resolution quadkey
+    val viol = QuadkeyLayout.withQkPrefix(
+        all.select("url", "lat", "lon"), prefixRes = 12)
+      .withColumnRenamed("qk_prefix", "qk12")
+      .join(all.select("url", "qk_prefix"), "url")
+      .where(substring(col("qk12"), 1, 3) =!= col("qk_prefix")).count()
+    assert(viol == 0)
+
+    // subtree read at a COARSER prefix (resolution 1: a quarter of the
+    // world): partition pruning must skip every other subtree's files
+    val qk1 = prefixes.head.take(1)
+    val sub = QuadkeyLayout.readSubtree(spark, dir, qk1)
+    val total = scannedFiles(all)
+    val pruned = scannedFiles(sub)
+    // files on disk under matching qk_prefix= dirs — the expected scan set
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    val diskFiles = java.nio.file.Files.walk(base).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet")).toSeq
+    val matching = diskFiles.count(_.toString.contains(s"qk_prefix=$qk1"))
+    assert(total == diskFiles.length && total > matching)
+    assert(pruned == matching && pruned > 0, s"scanned $pruned of $total")
+    // and the rows are exactly the subtree's
+    val expected = QuadkeyLayout.withQkPrefix(pts, 3)
+      .where(col("qk_prefix").startsWith(qk1)).count()
+    assert(sub.count() == expected && expected > 0)
+  }
 }
