@@ -12,6 +12,12 @@ import graft.operators.SpatialJoin
  *     --pages <path> [--format parquet|iceberg] --out <dir> \
  *     --lineage <dir> --run-id <id> [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]]
  *     [--zoom 8] [--tiles <dir>]
+ *     [--polygons <jsonl> [--cover distributed|driver]]
+ *
+ * --polygons joins against real boundary polygons (PolygonJson lines)
+ * instead of the committed fixture set; --cover picks where Geo.cover
+ * runs: `distributed` (default — executors, the large-polygon-table
+ * path) or `driver` (small sets).
  *
  * Re-invoking with the same --run-id resumes: completed cell prefixes are
  * pruned before the join (plans/Lineage). On a cluster the session comes
@@ -44,15 +50,23 @@ object Main {
       case other => sys.error(s"unknown --mode $other")
     }
 
+    val cover = opts.get("polygons").map { p =>
+      opts.getOrElse("cover", "distributed") match {
+        case "distributed" => sources.PolygonJson.coverFromJsonDistributed(spark, p)
+        case "driver" => sources.PolygonJson.coverFromJson(spark, p)
+        case other => sys.error(s"unknown --cover $other")
+      }
+    }
+
     val runId = opts.getOrElse("run-id", "run")
     val n = Pipeline.runResumable(spark, pages, opts("out"),
-      opts.getOrElse("lineage", opts("out") + "_lineage"), runId, mode)
+      opts.getOrElse("lineage", opts("out") + "_lineage"), runId, mode, cover)
     // eslint-style one-line summary for operators' logs
     println(s"""{"run_id":"$runId","points_processed":$n}""")
 
     opts.get("tiles").foreach { tilesOut =>
       val z = opts.getOrElse("zoom", "8").toInt
-      Pipeline.coverageStats(spark, pages, z, mode)
+      Pipeline.coverageStats(spark, pages, z, mode, cover)
         .write.mode("overwrite").parquet(tilesOut)
     }
     spark.stop()

@@ -25,15 +25,20 @@ object Pipeline {
         TextFunctions.geoLon(col("html")).as("lon"))
       .where(col("lat").isNotNull && col("lon").isNotNull)
 
-  /** (url, lat, lon, region_id) exact region matches. */
+  /** (url, lat, lon, region_id) exact region matches. `cover` defaults to
+    * the committed fixture polygons; pass one built by
+    * SpatialJoin.coverDF / coverDFDistributed for real boundary inputs. */
   def matches(spark: SparkSession, pages: DataFrame,
-              mode: SpatialJoin.Mode = SpatialJoin.Auto()): DataFrame =
-    SpatialJoin.assign(geocode(pages), "url", SpatialJoin.coverDF(spark), mode)
+              mode: SpatialJoin.Mode = SpatialJoin.Auto(),
+              cover: Option[SpatialJoin.CoverSides] = None): DataFrame =
+    SpatialJoin.assign(geocode(pages), "url",
+      cover.getOrElse(SpatialJoin.coverDF(spark)), mode)
 
   /** Per-(tile, region) counts at zoom z — the coverage-map output. */
   def tileStats(spark: SparkSession, pages: DataFrame, z: Int = 8,
-                mode: SpatialJoin.Mode = SpatialJoin.Auto()): DataFrame =
-    TileAgg.perRegion(matches(spark, pages, mode), z)
+                mode: SpatialJoin.Mode = SpatialJoin.Auto(),
+                cover: Option[SpatialJoin.CoverSides] = None): DataFrame =
+    TileAgg.perRegion(matches(spark, pages, mode, cover), z)
 
   /** The full coverage-map job (the reference's published page per area
     * [PK]: progress counts + page stats): per tile at zoom z — geocoded
@@ -41,7 +46,8 @@ object Pipeline {
     * text (extraction is the mandated per-row invariant, so the e2e
     * throughput metric includes it). One action, one output. */
   def coverageStats(spark: SparkSession, pages: DataFrame, z: Int = 8,
-                    joinMode: SpatialJoin.Mode = SpatialJoin.Auto()): DataFrame = {
+                    joinMode: SpatialJoin.Mode = SpatialJoin.Auto(),
+                    cover: Option[SpatialJoin.CoverSides] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val pts = pages.select(col("url"),
         TextFunctions.geoLat(col("html")).as("lat"),
@@ -55,7 +61,7 @@ object Pipeline {
       .agg(count("*").as("pages"), sum(col("tokens")).as("tok_sum"))
     val matchedPerTile = SpatialJoin
       .assign(tiled.select("url", "lat", "lon", "tile"), "url",
-        SpatialJoin.coverDF(spark), joinMode, dedup = false)
+        cover.getOrElse(SpatialJoin.coverDF(spark)), joinMode, dedup = false)
       .select("url", "tile").distinct() // absorbs multi-part/region dups
       .groupBy(col("tile")).agg(count("*").as("matched"))
     totals.join(matchedPerTile, Seq("tile"), "left")
@@ -73,7 +79,8 @@ object Pipeline {
     * number of input points actually processed this invocation. */
   def runResumable(spark: SparkSession, pages: DataFrame, outPath: String,
                    lineagePath: String, runId: String,
-                   mode: SpatialJoin.Mode = SpatialJoin.Auto()): Long = {
+                   mode: SpatialJoin.Mode = SpatialJoin.Auto(),
+                   cover: Option[operators.SpatialJoin.CoverSides] = None): Long = {
     import graft.plans.{Lineage, Metrics}
     Metrics.withMetrics(spark, runId,
         s"$lineagePath-metrics/$runId-${System.nanoTime()}.json") {
@@ -86,7 +93,8 @@ object Pipeline {
       val nProcessed = pruned.count()
       if (nProcessed > 0) {
         val matched = operators.SpatialJoin
-          .assign(pruned, "url", operators.SpatialJoin.coverDF(spark), mode)
+          .assign(pruned, "url",
+            cover.getOrElse(operators.SpatialJoin.coverDF(spark)), mode)
         Lineage.writeWithLineage(matched, pruned.select("cell_prefix"),
           outPath, lineagePath, runId, hashCols = Seq("url", "region_id"))
       }
