@@ -103,6 +103,40 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL candidate pairs: NEW documents against an existing
+    * REFERENCE corpus — the production crawl-cycle shape (dedup today's
+    * crawl against everything already kept) where re-pairing the
+    * reference against itself every cycle would be O(corpus) wasted work.
+    * Takes two already-banded relations (one shared [[minhashBanded]]
+    * computation upstream when both sides derive from one table) and
+    * bucket-joins NEW x REF only: no ref x ref pairs, no new x new pairs.
+    * Buckets where EITHER side exceeds `maxBucket` emit nothing (route
+    * them via [[overflowFromBanded]] per side — same cap contract as K3:
+    * a degenerate reference bucket would otherwise attach thousands of
+    * ref ids to every incoming boilerplate page). Returns distinct
+    * (new_id, ref_id). */
+  def incrementalPairsFromBanded(newBanded: DataFrame, refBanded: DataFrame,
+                                 idCol: String,
+                                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val wSz = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    def capped(df: DataFrame) = df
+      .withColumn("__bn", count("*").over(wSz))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
+    capped(newBanded).as("n").join(capped(refBanded).as("r"),
+        col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
+      .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
+      .distinct()
+  }
+
+  /** The decision step after [[incrementalPairsFromBanded]] (+ optional
+    * verification): keep only the new documents with NO reference match.
+    * One anti-join on the new-doc id. */
+  def keepNovel(newDocs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    newDocs.join(pairs.select(col("new_id")),
+      newDocs(idCol) === col("new_id"), "left_anti")
+
   /** Side output for the cap: the (band, bucket, n) rows whose bucket
     * exceeded `maxBucket` and were excluded from pair generation. */
   def minhashOverflowBuckets(docs: DataFrame, idCol: String, textCol: String,

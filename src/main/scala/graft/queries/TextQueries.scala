@@ -178,6 +178,57 @@ object TextQueries {
       Dedup.overflowFromBanded(TextFixtures.bandedCached(s, d), maxBucket = 2)
     },
 
+    QueryDef.sql("q_dup_incremental",
+      s"""WITH docs AS ($dupDocsSql),
+         |${TextFixtures.bandedSqlCtes},
+         |nb AS (SELECT * FROM banded WHERE NOT (doc_id < 1000000 AND doc_id % 2 = 0)),
+         |rb AS (SELECT * FROM banded WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+         |nc AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT doc_id, band, bucket,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bn FROM nb)
+         |  WHERE bn <= ${Dedup.DefaultMaxBucket}),
+         |rc AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT doc_id, band, bucket,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bn FROM rb)
+         |  WHERE bn <= ${Dedup.DefaultMaxBucket})
+         |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |FROM nc n JOIN rc r
+         |  ON n.band = r.band AND n.bucket = r.bucket""".stripMargin) { (s, d) =>
+      // the crawl-cycle shape: even base docs are the kept REFERENCE
+      // corpus, everything else (odd docs + injected copies) is the NEW
+      // crawl — candidates are NEW x REF only, never ref x ref
+      val banded = TextFixtures.bandedCached(s, d)
+      val isRef = col("doc_id") < 1000000 && col("doc_id") % 2 === 0
+      Dedup.incrementalPairsFromBanded(
+        banded.where(!isRef), banded.where(isRef), "doc_id")
+    },
+
+    QueryDef.sql("q_dup_keep_novel",
+      s"""WITH docs AS ($dupDocsSql),
+         |${TextFixtures.bandedSqlCtes},
+         |nb AS (SELECT * FROM banded WHERE NOT (doc_id < 1000000 AND doc_id % 2 = 0)),
+         |rb AS (SELECT * FROM banded WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+         |nc AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT doc_id, band, bucket,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bn FROM nb)
+         |  WHERE bn <= ${Dedup.DefaultMaxBucket}),
+         |rc AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT doc_id, band, bucket,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bn FROM rb)
+         |  WHERE bn <= ${Dedup.DefaultMaxBucket}),
+         |pairs AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |  FROM nc n JOIN rc r ON n.band = r.band AND n.bucket = r.bucket)
+         |SELECT doc_id FROM docs
+         |WHERE NOT (doc_id < 1000000 AND doc_id % 2 = 0)
+         |  AND doc_id NOT IN (SELECT new_id FROM pairs)""".stripMargin) { (s, d) =>
+      val banded = TextFixtures.bandedCached(s, d)
+      val isRef = col("doc_id") < 1000000 && col("doc_id") % 2 === 0
+      val pairs = Dedup.incrementalPairsFromBanded(
+        banded.where(!isRef), banded.where(isRef), "doc_id")
+      Dedup.keepNovel(dupDocs(s, d).where(!isRef), "doc_id", pairs)
+        .select("doc_id")
+    },
+
     QueryDef.sql("q_dup_simhash", {
       val (sums, fp) = simhashBitsSql(16)
       s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

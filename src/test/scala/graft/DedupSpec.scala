@@ -112,6 +112,37 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.clusters(empty).count() === 0L)
   }
 
+  test("incremental pairs: NEW x REF only — never ref x ref or new x new") {
+    def banded(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBanded(d, "doc_id", "text", w = 2, numHashes = 4, rowsPerBand = 2)
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    // reference corpus contains an INTERNAL duplicate (1, 2): it must
+    // never surface — incremental dedup re-checks nothing inside the
+    // kept corpus
+    val ref = docs(Seq(
+      (1L, shared), (2L, shared),
+      (3L, "completely different reference content nothing alike at all")))
+    // new crawl: one dup of the reference, one internal new-new dup pair
+    // (20, 21) that is also NOT this operator's business, one novel doc
+    val nw = docs(Seq(
+      (20L, shared), (21L, shared),
+      (22L, "genuinely novel text that matches nothing in the corpus here")))
+    val pairs = Dedup.incrementalPairsFromBanded(banded(nw), banded(ref), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20L, 1L), (20L, 2L), (21L, 1L), (21L, 2L)))
+    // keepNovel drops exactly the matched new docs
+    val novel = Dedup.keepNovel(nw, "doc_id",
+        Dedup.incrementalPairsFromBanded(banded(nw), banded(ref), "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(22L))
+    // the cap applies per side: a degenerate REFERENCE bucket emits nothing
+    val refPileup = docs((100L to 120L).map(i => (i, shared)))
+    val capped = Dedup.incrementalPairsFromBanded(
+      banded(nw), banded(refPileup), "doc_id", maxBucket = 5)
+    assert(capped.count() == 0)
+    assert(Dedup.overflowFromBanded(banded(refPileup), maxBucket = 5).count() > 0)
+  }
+
   test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
     val d = docs(Seq(
       (1L, "abcdef"),
