@@ -52,6 +52,15 @@ class KnnSpec extends SparkTestBase {
     assert(fast.nonEmpty && fast == slow)
   }
 
+  test("kNN rejects maxRounds < 1 instead of mis-reporting non-convergence") {
+    val pts = GeoFixtures.points(spark, sfDir).limit(5)
+    val feats = GeoFixtures.features(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      Knn.nearest(pts, "k", feats, "fid", k = 3, maxRounds = 0)
+    }
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
   test("kNN index modes agree: broadcast == shuffle-on-cell == brute force") {
     val pts = GeoFixtures.points(spark, sfDir).where(col("k") % 25 === 0)
     val feats = GeoFixtures.features(spark, sfDir)

@@ -156,6 +156,16 @@ class PipelineSpec extends SparkTestBase {
     assert(run(dCover, SpatialJoin.Shuffle) == base)
   }
 
+  test("distributed cover of an EMPTY polygon relation joins to zero rows, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int, Seq[Seq[Double]])]
+      .toDF("region_id", "part", "rings")
+    val cover = SpatialJoin.coverDFDistributed(empty)
+    assert(cover.nCells == 0 && cover.coarseCells.isEmpty)
+    val out = SpatialJoin.assign(GeoFixtures.points(spark, sfDir), "k", cover)
+    assert(out.count() == 0)
+  }
+
   test("probe explode covers only the resolutions present in the cover") {
     import graft.core.{Cells, Geo}
     val quad = Polygons.all.filter(_.name == "quad")
