@@ -13,11 +13,15 @@ import graft.operators.SpatialJoin
  *     --lineage <dir> --run-id <id> [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]]
  *     [--zoom 8] [--tiles <dir>]
  *     [--polygons <jsonl> [--cover distributed|driver]]
+ *     [--osm-boundaries <xml-glob>]
  *
  * --polygons joins against real boundary polygons (PolygonJson lines)
  * instead of the committed fixture set; --cover picks where Geo.cover
  * runs: `distributed` (default — executors, the large-polygon-table
- * path) or `driver` (small sets).
+ * path) or `driver` (small sets). --osm-boundaries instead assembles
+ * the polygons from OSM XML boundary relations (OsmXml.readBoundaries:
+ * executor-side filtering, driver-side ring stitching) — the
+ * reference's actual polygon provenance, end to end through the CLI.
  *
  * Re-invoking with the same --run-id resumes: completed cell prefixes are
  * pruned before the join (plans/Lineage). On a cluster the session comes
@@ -56,7 +60,12 @@ object Main {
         case "driver" => sources.PolygonJson.coverFromJson(spark, p)
         case other => sys.error(s"unknown --cover $other")
       }
-    }
+    }.orElse(opts.get("osm-boundaries").map { glob =>
+      // boundary relations assembled from OSM XML (the filtered subset is
+      // small by construction, so driver-side covers are the right call)
+      operators.SpatialJoin.coverDF(spark,
+        sources.OsmXml.readBoundaries(spark, glob))
+    })
 
     val runId = opts.getOrElse("run-id", "run")
     val n = Pipeline.runResumable(spark, pages, opts("out"),
