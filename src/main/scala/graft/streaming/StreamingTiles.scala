@@ -63,4 +63,30 @@ object StreamingTiles {
           .write.mode("append").parquet(outPath)
       }
       .trigger(Trigger.AvailableNow())
+
+  /** Streaming incremental dedup — K27's streaming twin: a continuous
+    * stream of NEW documents filtered against a STATIC kept corpus. The
+    * reference side's banded MinHash keys are computed ONCE outside the
+    * stream (they are the stable "what we already have" table); each
+    * micro-batch computes its own banded keys and runs the exact batch
+    * operators (incrementalPairsFromBanded + keepNovel), so a micro-batch
+    * is literally one crawl increment and semantics match the batch path
+    * by construction. Novelty here is vs the REFERENCE only — duplicates
+    * between two new documents are [[dedupStream]]'s / the batch cluster
+    * job's business, exactly as in the batch pipeline. */
+  def novelSink(refBanded: DataFrame, docs: DataFrame, outPath: String,
+                w: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val banded = Dedup.minhashBanded(batch, "doc_id", "text",
+          w, numHashes, rowsPerBand)
+        val pairs = Dedup.incrementalPairsFromBanded(banded, refBanded, "doc_id")
+        Dedup.keepNovel(batch, "doc_id", pairs)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
 }

@@ -31,6 +31,40 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("streaming incremental dedup == batch keepNovel against the same reference") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftnovel").toString
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = Seq((1L, shared),
+      (2L, "reference only content that the crawl never repeats at all"))
+      .toDF("doc_id", "text")
+    val refBanded = Dedup.minhashBanded(ref, "doc_id", "text",
+      w = 3, numHashes = 4, rowsPerBand = 2)
+    // the "crawl": one ref dup + three novel docs, split across several
+    // files so the stream sees multiple micro-batches
+    val crawl = Seq(
+      (10L, shared),
+      (11L, "first genuinely novel crawl document with fresh words"),
+      (12L, "second novel document nothing like the kept corpus"),
+      (13L, "third novel entry arriving in a later micro batch entirely"))
+      .toDF("doc_id", "text")
+    crawl.repartition(4).write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = StreamingTiles.novelSink(refBanded, stream, s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Dedup.keepNovel(crawl, "doc_id",
+        Dedup.incrementalPairsFromBanded(
+          Dedup.minhashBanded(crawl, "doc_id", "text", 3, 4, 2),
+          refBanded, "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got == Set(11L, 12L, 13L))
+  }
+
   test("streaming dedup == batch dedup (first content-hash occurrence wins)") {
     val base = java.nio.file.Files.createTempDirectory("graftstream3").toString
     // duplicate every third page's html under a different url
