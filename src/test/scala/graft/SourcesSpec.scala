@@ -159,6 +159,44 @@ class SourcesSpec extends SparkTestBase {
     assert(dist.length == 1 && dist.head.regionId == 200L)
   }
 
+  test("readBoundaries resolves cross-FILE references (split extracts)") {
+    // real extracts ship split (per-region files, or nodes/ways/relations
+    // in separate dumps): a relation in one file referencing ways in a
+    // second and nodes in a third must assemble — the semi-join chain
+    // operates over the union of all parsed files, not per document
+    val nodes =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <node id="1" lat="0.001" lon="0.001"/>
+        |  <node id="2" lat="10.001" lon="0.001"/>
+        |  <node id="3" lat="10.001" lon="10.001"/>
+        |  <node id="4" lat="0.001" lon="10.001"/>
+        |</osm>""".stripMargin
+    val ways =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+        |  <way id="101"><nd ref="1"/><nd ref="4"/><nd ref="3"/></way>
+        |</osm>""".stripMargin
+    val rels =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <relation id="300">
+        |    <member type="way" ref="100" role="outer"/>
+        |    <member type="way" ref="101" role="outer"/>
+        |    <tag k="type" v="boundary"/>
+        |  </relation>
+        |</osm>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graftosmsplit").toString
+    Seq("nodes" -> nodes, "ways" -> ways, "rels" -> rels).foreach { case (n, c) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$n.osm"), c)
+    }
+    val parts = OsmXml.readBoundaries(spark, s"$dir/*.osm")
+    assert(parts.length == 1 && parts.head.regionId == 300L)
+    assert(parts.head.rings.length == 1 && parts.head.rings(0).length == 8)
+    assert(graft.core.Geo.contains(5.0, 5.0, parts.head.rings))
+  }
+
   test("boundary assembly fails loudly on a ring node without coordinates") {
     val xml =
       """<?xml version='1.0' encoding='UTF-8'?>
