@@ -186,6 +186,14 @@ object SpatialJoin {
     case m => m
   }
 
+  /** Above this many distinct coarse cells the InSet prefilter is skipped:
+    * a multi-million-literal InSet bloats codegen and driver memory for a
+    * filter the candidate equi-join applies anyway (the prefilter is
+    * purely an optimization — dropping it never changes results). Reached
+    * only by covers whose rMin grid is dense (e.g. near-global polygon
+    * sets at high rMin). */
+  final val CoarsePrefilterMax = 1000000
+
   def assign(points: DataFrame, keyCol: String, cover: CoverSides,
              mode: Mode = Auto(),
              dedup: Boolean = true): DataFrame = {
@@ -196,12 +204,14 @@ object SpatialJoin {
     // rMin-ancestor must be the rMin-ancestor of some cover cell, and that
     // set is tiny (bounded by the global rMin grid) — an InSet lookup
     // eliminates most of the planet's points with one cell computation
-    // instead of a 6x row blowup + join
-    val coarseSet: Array[java.lang.Long] = cover.coarseCells.map(Long.box)
-    val withCell = points.withColumn("cell_rmax",
+    // instead of a 6x row blowup + join. Skipped past CoarsePrefilterMax
+    // (the join itself is the correctness filter).
+    val encoded = points.withColumn("cell_rmax",
       GeoFunctions.cellEncode($"lat", $"lon", lit(rMax)))
-      .where(GeoFunctions.cellParent($"cell_rmax", lit(rMin))
-        .isInCollection(coarseSet))
+    val withCell =
+      if (cover.coarseCells.length > CoarsePrefilterMax) encoded
+      else encoded.where(GeoFunctions.cellParent($"cell_rmax", lit(rMin))
+        .isInCollection(cover.coarseCells.map(Long.box)))
     // probe only the resolutions that actually OCCUR in the cover (in the
     // driver-side summary at zero job cost): a compact cover rarely uses
     // every level — e.g. a coarse-only cover of a large region makes the

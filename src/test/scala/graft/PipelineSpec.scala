@@ -156,6 +156,27 @@ class PipelineSpec extends SparkTestBase {
     assert(run(dCover, SpatialJoin.Shuffle) == base)
   }
 
+  test("oversized coarse-cell set skips the InSet prefilter, same rows") {
+    val cover = SpatialJoin.coverDF(spark)
+    // same cover, coarse summary inflated past the cap (junk ids can only
+    // ever make the prefilter LESS selective, so equality is the proof
+    // that correctness never depended on it)
+    val junk = Array.tabulate(SpatialJoin.CoarsePrefilterMax + 1)(i =>
+      graft.core.Cells.mkCell(20, i.toLong))
+    val inflated = cover.copy(coarseCells = cover.coarseCells ++ junk)
+    val pts = GeoFixtures.points(spark, sfDir)
+    def run(c: SpatialJoin.CoverSides) =
+      SpatialJoin.assign(pts, "k", c).select("k", "region_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(cover)
+    assert(base.nonEmpty && run(inflated) == base)
+    // and the inflated plan genuinely lacks the literal IN filter
+    val plan = SpatialJoin.assign(pts, "k", inflated)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("isInCollection") && !plan.toLowerCase.contains(" in ("),
+      plan.take(500))
+  }
+
   test("distributed cover of an EMPTY polygon relation joins to zero rows, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Int, Seq[Seq[Double]])]
