@@ -113,5 +113,16 @@ class BucketingSpec extends SparkTestBase {
     val expected = QuadkeyLayout.withQkPrefix(pts, 3)
       .where(col("qk_prefix").startsWith(qk1)).count()
     assert(sub.count() == expected && expected > 0)
+
+    // every prefix length 1..3 (coarser and exact-depth subtrees): rows
+    // equal an independent recompute from lat/lon
+    (1 to 3).foreach { len =>
+      prefixes.map(_.take(len)).distinct.foreach { p =>
+        val got = QuadkeyLayout.readSubtree(spark, dir, p).count()
+        val exp = QuadkeyLayout.withQkPrefix(pts, 3)
+          .where(col("qk_prefix").startsWith(p)).count()
+        assert(got == exp, s"prefix $p")
+      }
+    }
   }
 }

@@ -154,6 +154,35 @@ class PipelineSpec extends SparkTestBase {
     assert(base.nonEmpty)
     assert(run(dCover, SpatialJoin.Broadcast) == base)
     assert(run(dCover, SpatialJoin.Shuffle) == base)
+    assert(run(dCover, SpatialJoin.ShuffleSalted(4)) == base)
+    assert(run(dCover, SpatialJoin.ShuffleSaltedAdaptive(4, 50)) == base)
+  }
+
+  test("distributed covers equal driver covers on randomized polygons") {
+    import spark.implicits._
+    // seeded random simple polygons (jittered rects + right triangles) far
+    // beyond the committed fixture set: the two construction paths must
+    // agree cell-for-cell on every one of them
+    val rnd = new scala.util.Random(20260817)
+    val polys = (0 until 40).map { i =>
+      val lon0 = -170.0 + rnd.nextDouble() * 320
+      val lat0 = -80.0 + rnd.nextDouble() * 150
+      val w = 0.05 + rnd.nextDouble() * 12
+      val h = 0.05 + rnd.nextDouble() * 8
+      val ring =
+        if (i % 3 == 0) Array(lon0, lat0, lon0 + w, lat0, lon0 + w / 3, lat0 + h)
+        else Array(lon0, lat0, lon0 + w, lat0, lon0 + w, lat0 + h, lon0, lat0 + h)
+      graft.core.Polygons.PolyPart(i.toLong, 0, s"rnd-$i", Array(ring))
+    }
+    val local = SpatialJoin.coverDF(spark, polys, rMin = 6, rMax = 9)
+    val polyDf = polys.map(p => (p.regionId, p.part, p.rings.map(_.toSeq).toSeq))
+      .toDF("region_id", "part", "rings")
+    val dist = SpatialJoin.coverDFDistributed(polyDf, rMin = 6, rMax = 9)
+    def cells(c: SpatialJoin.CoverSides) = c.cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cells(dist) == cells(local) && dist.nCells == local.nCells)
+    assert(dist.coarseCells.toSeq == local.coarseCells.toSeq)
+    assert(dist.resolutions == local.resolutions)
   }
 
   test("oversized coarse-cell set skips the InSet prefilter, same rows") {
