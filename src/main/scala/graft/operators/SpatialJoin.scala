@@ -145,13 +145,26 @@ object SpatialJoin {
       .select(col("region_id").cast("long"), col("part").cast("int"),
         col("rings").cast("array<array<double>>"))
       .as[(Long, Int, Seq[Seq[Double]])]
+    // malformed geometry fails LOUDLY with the polygon named, not deep in
+    // cover math (an odd-length ring would silently drop its last
+    // coordinate; a null/short ring would corrupt the bbox quietly)
+    def validated(rid: Long, part: Int, rings: Seq[Seq[Double]]): Array[Array[Double]] = {
+      require(rings != null && rings.nonEmpty,
+        s"polygon ($rid, $part): rings missing or empty")
+      rings.iterator.map { ring =>
+        require(ring != null && ring.length >= 6 && ring.length % 2 == 0,
+          s"polygon ($rid, $part): ring must be flat [lon,lat,...] pairs " +
+            s"with >= 3 vertices, got length ${if (ring == null) -1 else ring.length}")
+        ring.toArray
+      }.toArray
+    }
     val cells = polys.flatMap { case (rid, part, rings) =>
-        val arr = rings.iterator.map(_.toArray).toArray
-        Geo.cover(arr, rMin, rMax).map(c => (c, rid, part))
+        Geo.cover(validated(rid, part, rings), rMin, rMax)
+          .map(c => (c, rid, part))
       }.toDF("cell", "region_id", "part")
       .localCheckpoint(true)
     val partsDf = polys.map { case (rid, part, rings) =>
-        val arr = rings.iterator.map(_.toArray).toArray
+        val arr = validated(rid, part, rings)
         val flat = arr.flatten.toSeq
         val offsets = arr.scanLeft(0)(_ + _.length).toSeq
         val (latMin, latMax, lonMin, lonMax) = Geo.bbox(arr)

@@ -216,6 +216,19 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("distributed cover rejects malformed rings naming the polygon") {
+    import spark.implicits._
+    // odd-length ring: would silently drop its last coordinate deep in
+    // the cover math — must fail loudly with (region, part) instead
+    val bad = Seq((42L, 1, Seq(Seq(0.0, 0.0, 10.0, 0.0, 10.0))))
+      .toDF("region_id", "part", "rings")
+    val e = intercept[org.apache.spark.SparkException] {
+      SpatialJoin.coverDFDistributed(bad)
+    }
+    val msg = e.getCause match { case c if c != null => c.getMessage; case _ => e.getMessage }
+    assert(msg != null && msg.contains("(42, 1)"), msg)
+  }
+
   test("probe explode covers only the resolutions present in the cover") {
     import graft.core.{Cells, Geo}
     val quad = Polygons.all.filter(_.name == "quad")
