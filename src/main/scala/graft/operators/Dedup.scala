@@ -108,7 +108,10 @@ object Dedup {
     * crawl against everything already kept) where re-pairing the
     * reference against itself every cycle would be O(corpus) wasted work.
     * Takes two already-banded relations (one shared [[minhashBanded]]
-    * computation upstream when both sides derive from one table) and
+    * computation upstream when both sides derive from one table; in a
+    * real crawl cycle the REFERENCE side's banded keys are a PERSISTED
+    * table written once per corpus revision and re-read every cycle, so
+    * only the new side's signatures are ever recomputed) and
     * bucket-joins NEW x REF only: no ref x ref pairs, no new x new pairs.
     * Buckets where EITHER side exceeds `maxBucket` emit nothing (route
     * them via [[overflowFromBanded]] per side — same cap contract as K3:
