@@ -61,10 +61,18 @@ object Main {
         case other => sys.error(s"unknown --cover $other")
       }
     }.orElse(opts.get("osm-boundaries").map { glob =>
-      // boundary relations assembled from OSM XML (the filtered subset is
-      // small by construction, so driver-side covers are the right call)
-      operators.SpatialJoin.coverDF(spark,
-        sources.OsmXml.readBoundaries(spark, glob))
+      opts.getOrElse("cover", "driver") match {
+        case "distributed" =>
+          // planetary path: assembly AND covers on executors — geometry
+          // never passes through the driver
+          import org.apache.spark.sql.functions.col
+          val polys = sources.OsmXml.readBoundariesDistributed(spark, glob)
+            .select(col("regionId").as("region_id"), col("part"), col("rings"))
+          operators.SpatialJoin.coverDFDistributed(polys)
+        case _ =>
+          operators.SpatialJoin.coverDF(spark,
+            sources.OsmXml.readBoundaries(spark, glob))
+      }
     })
 
     val runId = opts.getOrElse("run-id", "run")

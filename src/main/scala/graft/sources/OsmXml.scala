@@ -234,6 +234,89 @@ object OsmXml {
     }
   }
 
+  /** One keyed fragment of a boundary relation's input, for the
+    * distributed assembly path: kind 0 = relation member (way ref + role
+    * at member position midx), kind 1 = way (ndRefs), kind 2 = node
+    * (coords; hasCoords=false marks a node present without lat/lon so the
+    * stitcher can still name it precisely). Public only because Spark's
+    * generated encoder code cannot access a private class — not API. */
+  final case class RelPiece(
+      relId: Long, kind: Int, midx: Int, wayRef: Long, role: String,
+      ndRefs: Seq[Long], nodeId: Long, lon: Double, lat: Double,
+      hasCoords: Boolean)
+
+  /** Fully distributed boundary assembly: geometry NEVER passes through
+    * the driver. Relations are independent, so after the same executor-
+    * side filtering as [[readBoundaries]] the inputs are re-keyed by
+    * relation id and each relation's ways + ring nodes are grouped onto
+    * one executor, where the exact same pure stitcher
+    * ([[boundaryPolygons]]) runs on the reconstructed object set —
+    * identical PolyParts by construction, loud on missing/coordless
+    * nodes and unclosed rings exactly as the driver path is (missing
+    * ways/nodes drop out of the joins and surface as the stitcher's
+    * "references missing ..." failure).
+    *
+    * Per-relation memory is that relation's own rings — bounded — and
+    * thousands of relations assemble in parallel. The result feeds
+    * SpatialJoin.coverDFDistributed directly, so "planet XML -> polygons
+    * -> covers -> join" is distributed end to end (the only driver-side
+    * state is the bounded cover summary).
+    *
+    * A way shared by two relations (the common admin-hierarchy case) is
+    * replicated into both groups by the membership join — correct, and
+    * cheap relative to geometry size. */
+  def readBoundariesDistributed(spark: SparkSession, pathGlob: String)
+      : Dataset[graft.core.Polygons.PolyPart] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val objs = read(spark, pathGlob)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val rels = objs.filter(o => o.featureType == "relation" &&
+      o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
+    // (rel, member position, way ref, role) — the membership relation
+    val members = rels.flatMap { r =>
+      r.members.zipWithIndex.collect {
+        case (OsmMember("way", ref, role), i) =>
+          RelPiece(r.featureId, 0, i, ref, role, Nil, 0L, 0.0, 0.0, false)
+      }
+    }
+    // ways keyed by every relation that references them
+    val wayDs = objs.filter(col("featureType") === "way")
+    val ways = wayDs.joinWith(members, wayDs("featureId") === members("wayRef"))
+      .map { case (w, m) =>
+        RelPiece(m.relId, 1, 0, w.featureId, "", w.ndRefs, 0L, 0.0, 0.0, false) }
+    // (rel, node) pairs a relation's ways need, then the node coords
+    val needed = ways.flatMap(p => p.ndRefs.map(n => (p.relId, n)))
+      .toDF("relId", "nodeId").distinct()
+    val nodeDs = objs.filter(col("featureType") === "node")
+    val nodes = nodeDs.joinWith(needed, nodeDs("featureId") === needed("nodeId"))
+      .map { case (n, r) =>
+        RelPiece(r.getLong(0), 2, 0, 0L, "", Nil, n.featureId,
+          n.lon.getOrElse(Double.NaN), n.lat.getOrElse(Double.NaN),
+          n.lat.isDefined && n.lon.isDefined) }
+    val out = members.union(ways).union(nodes)
+      .groupByKey(_.relId)
+      .flatMapGroups { (relId, it) =>
+        val pieces = it.toSeq
+        val rel = OsmObject(relId, "relation", None, None,
+          Map("type" -> "boundary"), Nil,
+          pieces.filter(_.kind == 0).sortBy(_.midx)
+            .map(p => OsmMember("way", p.wayRef, p.role)))
+        val wayObjs = pieces.filter(_.kind == 1).distinct
+          .map(p => OsmObject(p.wayRef, "way", None, None, Map.empty, p.ndRefs))
+        val nodeObjs = pieces.filter(_.kind == 2).map(p =>
+          OsmObject(p.nodeId, "node",
+            if (p.hasCoords) Some(p.lat) else None,
+            if (p.hasCoords) Some(p.lon) else None, Map.empty))
+        boundaryPolygons(rel +: (wayObjs ++ nodeObjs))
+      }
+    // materialize before dropping the parse cache: the result is geometry-
+    // sized (bounded), the parse cache is corpus-sized
+    val result = out.localCheckpoint(true)
+    objs.unpersist(blocking = false)
+    result
+  }
+
   /** Feature relation for the tag-match join: objects carrying any
     * wikipedia tag, with the normalized key and error routing columns
     * (SURVEY.md §1.2-2: malformed values flow to errors, never join). */

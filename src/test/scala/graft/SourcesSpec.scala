@@ -159,6 +159,65 @@ class SourcesSpec extends SparkTestBase {
     assert(dist.length == 1 && dist.head.regionId == 200L)
   }
 
+  test("distributed boundary assembly == driver stitcher, geometry never on the driver") {
+    import graft.operators.SpatialJoin
+    // reuse the hardest committed shape: two-way split shell (one way
+    // reversed) + hole, PLUS a second disjoint relation so the per-
+    // relation grouping actually groups
+    val xml =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <node id="1" lat="0.001" lon="0.001"/>
+        |  <node id="2" lat="10.001" lon="0.001"/>
+        |  <node id="3" lat="10.001" lon="10.001"/>
+        |  <node id="4" lat="0.001" lon="10.001"/>
+        |  <node id="5" lat="4.001" lon="4.001"/>
+        |  <node id="6" lat="6.001" lon="4.001"/>
+        |  <node id="7" lat="6.001" lon="6.001"/>
+        |  <node id="8" lat="4.001" lon="6.001"/>
+        |  <node id="20" lat="20.001" lon="20.001"/>
+        |  <node id="21" lat="25.001" lon="20.001"/>
+        |  <node id="22" lat="25.001" lon="25.001"/>
+        |  <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+        |  <way id="101"><nd ref="1"/><nd ref="4"/><nd ref="3"/></way>
+        |  <way id="102"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="8"/><nd ref="5"/></way>
+        |  <way id="103"><nd ref="20"/><nd ref="21"/><nd ref="22"/><nd ref="20"/></way>
+        |  <relation id="200">
+        |    <member type="way" ref="100" role="outer"/>
+        |    <member type="way" ref="101" role="outer"/>
+        |    <member type="way" ref="102" role="inner"/>
+        |    <tag k="type" v="boundary"/>
+        |  </relation>
+        |  <relation id="201">
+        |    <member type="way" ref="103" role="outer"/>
+        |    <tag k="type" v="multipolygon"/>
+        |  </relation>
+        |</osm>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graftosmdist").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/x.osm"), xml)
+    def norm(ps: Seq[Polygons.PolyPart]) = ps
+      .map(p => (p.regionId, p.part, p.rings.map(_.toSeq).toSeq))
+      .sortBy(t => (t._1, t._2))
+    val dist = norm(OsmXml.readBoundariesDistributed(spark, s"$dir/x.osm")
+      .collect().toSeq)
+    val drv = norm(OsmXml.boundaryPolygons(OsmXml.parseDocument(xml).toSeq))
+    assert(dist == drv && dist.map(_._1) == Seq(200L, 201L))
+    // ...and the fully distributed chain (executor assembly -> executor
+    // covers -> join) returns the same matches as the driver chain
+    import spark.implicits._
+    val polyDf = OsmXml.readBoundariesDistributed(spark, s"$dir/x.osm")
+      .select(col("regionId").as("region_id"), col("part"), col("rings"))
+    val dCover = SpatialJoin.coverDFDistributed(polyDf, rMin = 5, rMax = 8)
+    val lCover = SpatialJoin.coverDF(spark,
+      OsmXml.readBoundaries(spark, s"$dir/x.osm"), rMin = 5, rMax = 8)
+    val pts = Seq((1L, 2.0, 2.0), (2L, 5.0, 5.0), (3L, 22.0, 21.0))
+      .toDF("k", "lat", "lon")
+    def run(c: SpatialJoin.CoverSides) =
+      SpatialJoin.assign(pts, "k", c).select("k", "region_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(dCover) == run(lCover) && run(dCover) == Set((1L, 200L), (3L, 201L)))
+  }
+
   test("readBoundaries resolves cross-FILE references (split extracts)") {
     // real extracts ship split (per-region files, or nodes/ways/relations
     // in separate dumps): a relation in one file referencing ways in a
