@@ -143,6 +143,29 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.overflowFromBanded(banded(refPileup), maxBucket = 5).count() > 0)
   }
 
+  test("incremental pairs == full self-join pairs restricted to NEW x REF") {
+    // algebraic identity (no caps binding): running the classic self-join
+    // over ref ∪ new and keeping only cross pairs must equal the
+    // incremental operator — i.e. incrementality loses nothing, it only
+    // skips the ref x ref / new x new work
+    def banded(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBanded(d, "doc_id", "text", w = 2, numHashes = 4, rowsPerBand = 2)
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine ten"
+    val ref = docs(Seq((1L, a), (2L, b), (3L, "ref only text unlike anything")))
+    val nw = docs(Seq((10L, a), (11L, b), (12L, "crawl only text unlike anything else")))
+    val inc = Dedup.incrementalPairsFromBanded(banded(nw), banded(ref), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full pairs over the union; new ids all > ref ids, so a cross pair
+    // (id_a < id_b) is exactly (ref_id = id_a, new_id = id_b)
+    val full = Dedup.candidatePairsFromBanded(
+        banded(ref.unionByName(nw)), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => x < 10 && y >= 10 }
+      .map { case (rid, nid) => (nid, rid) }.toSet
+    assert(inc == full && inc == Set((10L, 1L), (11L, 2L)))
+  }
+
   test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
     val d = docs(Seq(
       (1L, "abcdef"),
