@@ -157,6 +157,11 @@ class SourcesSpec extends SparkTestBase {
       a.rings.zip(b.rings).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
     }
     assert(dist.length == 1 && dist.head.regionId == 200L)
+    // the per-relation executor-stitching path agrees at volume too
+    val dist2 = OsmXml.readBoundariesDistributed(spark, s"$dir/big.osm").collect()
+    assert(dist2.length == 1 && dist2.head.regionId == 200L &&
+      dist2.head.rings.length == full.head.rings.length &&
+      dist2.head.rings(0).sameElements(full.head.rings(0)))
   }
 
   test("distributed boundary assembly == driver stitcher, geometry never on the driver") {
