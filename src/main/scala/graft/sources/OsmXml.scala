@@ -126,8 +126,13 @@ object OsmXml {
       .map(_.featureId).toSet
     val ways = objs.iterator.filter(_.featureType == "way")
       .map(o => o.featureId -> o.ndRefs).toMap
+    // distinctBy: overlapping split extracts DUPLICATE border objects (the
+    // same relation appears in both regional files); stitching a relation
+    // twice would double its member list and fail on the duplicate
+    // segments. Ways/nodes dedup for free through the id-keyed maps above.
     val rels = objs.filter(o => o.featureType == "relation" &&
-      o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
+        o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
+      .distinctBy(_.featureId)
 
     def ringsOf(rel: OsmObject, inner: Boolean): Seq[Array[Double]] = {
       val refs = rel.members.filter(m => m.mtype == "way" &&
@@ -273,13 +278,17 @@ object OsmXml {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val rels = objs.filter(o => o.featureType == "relation" &&
       o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
-    // (rel, member position, way ref, role) — the membership relation
+    // (rel, member position, way ref, role) — the membership relation.
+    // distinct: overlapping split extracts duplicate border relations
+    // (same object in two regional files); identical member pieces must
+    // collapse or the reconstructed member list doubles. Duplicate way /
+    // node rows dedup downstream (piece distinct in the group, node map).
     val members = rels.flatMap { r =>
       r.members.zipWithIndex.collect {
         case (OsmMember("way", ref, role), i) =>
           RelPiece(r.featureId, 0, i, ref, role, Nil, 0L, 0.0, 0.0, false)
       }
-    }
+    }.distinct()
     // ways keyed by every relation that references them
     val wayDs = objs.filter(col("featureType") === "way")
     val ways = wayDs.joinWith(members, wayDs("featureId") === members("wayRef"))

@@ -223,6 +223,40 @@ class SourcesSpec extends SparkTestBase {
     assert(run(dCover) == run(lCover) && run(dCover) == Set((1L, 200L), (3L, 201L)))
   }
 
+  test("overlapping extracts: duplicated border objects assemble once, all paths") {
+    // osmosis-style regional extracts DUPLICATE objects near the cut: the
+    // same boundary relation (with its ways and nodes) appears in BOTH
+    // files. Every assembly path must dedup by id — a doubled member list
+    // would fail stitching on the duplicate segments.
+    val xml =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |  <node id="1" lat="0.001" lon="0.001"/>
+        |  <node id="2" lat="10.001" lon="0.001"/>
+        |  <node id="3" lat="10.001" lon="10.001"/>
+        |  <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="1"/></way>
+        |  <relation id="500">
+        |    <member type="way" ref="100" role="outer"/>
+        |    <tag k="type" v="boundary"/>
+        |  </relation>
+        |</osm>""".stripMargin
+    val single = OsmXml.boundaryPolygons(OsmXml.parseDocument(xml).toSeq)
+    // pure stitcher over a doubled object stream
+    val doubled = OsmXml.boundaryPolygons(
+      (OsmXml.parseDocument(xml) ++ OsmXml.parseDocument(xml)).toSeq)
+    assert(doubled.map(p => (p.regionId, p.part)) ==
+      single.map(p => (p.regionId, p.part)))
+    assert(doubled.head.rings(0).sameElements(single.head.rings(0)))
+    // both Spark paths over two overlapping files
+    val dir = java.nio.file.Files.createTempDirectory("graftosmdup").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.osm"), xml)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.osm"), xml)
+    val drv = OsmXml.readBoundaries(spark, s"$dir/*.osm")
+    assert(drv.length == 1 && drv.head.rings(0).sameElements(single.head.rings(0)))
+    val dist = OsmXml.readBoundariesDistributed(spark, s"$dir/*.osm").collect()
+    assert(dist.length == 1 && dist.head.rings(0).sameElements(single.head.rings(0)))
+  }
+
   test("readBoundaries resolves cross-FILE references (split extracts)") {
     // real extracts ship split (per-region files, or nodes/ways/relations
     // in separate dumps): a relation in one file referencing ways in a
