@@ -55,30 +55,28 @@ object Pipeline {
         TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))
           .as("tokens"))
       .where(col("lat").isNotNull && col("lon").isNotNull)
-    // Two consumers (per-tile totals and the spatial-join branch) share
-    // the scan subtree by RECOMPUTATION, deliberately. Measured on the 8M
-    // bench corpus: recompute = 5.0 s; eager localCheckpoint of the
-    // narrow frame = 9.1 s (the serial materialization job costs more
-    // than the second scan it saves — the independent branch stages
-    // overlap on the same cores and the OS page cache absorbs the second
-    // html read); a lazy persist looks 5x faster but only because
-    // repeated invocations silently serve the PREVIOUS run's cache (plan-
-    // equality cache hit), which also pins blocks for the session.
+    // SINGLE-SCAN shape: the left-outer spatial assign keeps every point in
+    // ONE plan (SpatialJoin.assignRegions), so per-tile totals AND match
+    // counts come from one aggregation over one pass — the 100-TB html
+    // column is read exactly once. (Rounds 1-4 recomputed the scan for two
+    // consumers; free in-sandbox where the page cache absorbs the second
+    // read, but a doubling of the dominant IO cost on a real object-store
+    // corpus. PipelineSpec asserts the plan now contains exactly one scan
+    // of the pages relation; FlagshipProbe A/B on the 8M corpus: one-pass
+    // 5.31 s / scan control 3.19 s (ratio 0.60) vs round-4 two-pass
+    // 5.0-5.6 s / scan 3.5 s (0.62) — parity even where the page cache
+    // makes the second scan free, strictly one html read where it is not.)
     val tiled = pts.withColumn("tile",
       GeoFunctions.cellEncode(col("lat"), col("lon"), lit(z)))
-    val totals = tiled.groupBy(col("tile"))
-      .agg(count("*").as("pages"), sum(col("tokens")).as("tok_sum"))
-    val matchedPerTile = SpatialJoin
-      .assign(tiled.select("url", "lat", "lon", "tile"), "url",
-        cover.getOrElse(SpatialJoin.coverDF(spark)), joinMode, dedup = false)
-      .select("url", "tile").distinct() // absorbs multi-part/region dups
-      .groupBy(col("tile")).agg(count("*").as("matched"))
-    totals.join(matchedPerTile, Seq("tile"), "left")
+    val withRegions = SpatialJoin.assignRegions(tiled, "url",
+      cover.getOrElse(SpatialJoin.coverDF(spark)), joinMode)
+    withRegions.groupBy(col("tile"))
+      .agg(count("*").as("pages"), sum(col("tokens")).as("tok_sum"),
+        sum(when(size(col("regions")) > 0, 1L).otherwise(0L)).as("matched"))
       .select(
         GeoFunctions.cellTileX(col("tile")).as("tile_x"),
         GeoFunctions.cellTileY(col("tile")).as("tile_y"),
-        col("pages"), col("tok_sum"),
-        coalesce(col("matched"), lit(0L)).as("matched"))
+        col("pages"), col("tok_sum"), col("matched"))
   }
 
   /** Resumable flagship run (SURVEY.md §3.1 E3): geocode -> prune prefixes

@@ -285,4 +285,101 @@ object SpatialJoin {
       "lat_min", "lat_max", "lon_min", "lon_max")
     if (dedup) out.dropDuplicates(keyCol, "region_id") else out
   }
+
+  /** One row per input point with `regions: ARRAY<BIGINT>` — the sorted set
+    * of containing region ids (empty when none). This is the SINGLE-SCAN
+    * building block: unlike [[assign]] (inner — unmatched points drop out,
+    * so a caller needing both totals and match counts must consume the
+    * point relation twice), here every point survives the whole plan, and
+    * one downstream aggregation answers both questions. At the 100-TB tier
+    * that halves the dominant IO cost of the flagship: the html column is
+    * scanned once, not once per consumer (Pipeline.coverageStats is the
+    * caller this exists for).
+    *
+    * Plan shape: coarse-rejected points keep exactly ONE null-cell probe
+    * row (a join key of null never matches, so they ride through both
+    * joins untouched — no 6x explode where a match is impossible); all
+    * joins are LEFT; the final per-point groupBy costs the same single
+    * wide shuffle [[assign]]'s dedup pays. */
+  def assignRegions(points: DataFrame, keyCol: String, cover: CoverSides,
+                    mode: Mode = Auto()): DataFrame = {
+    import points.sparkSession.implicits._
+    val rMin = cover.rMin
+    val rMax = cover.rMax
+    val encoded = points.withColumn("cell_rmax",
+      GeoFunctions.cellEncode($"lat", $"lon", lit(rMax)))
+    val coarseOk: Column =
+      if (cover.coarseCells.length > CoarsePrefilterMax) lit(true)
+      else GeoFunctions.cellParent($"cell_rmax", lit(rMin))
+        .isInCollection(cover.coarseCells.map(Long.box))
+    val probeRes: Seq[Int] =
+      if (cover.resolutions.isEmpty) Seq(rMin) else cover.resolutions
+    val probes = encoded.withColumn("cell",
+      explode(when(coarseOk, array(probeRes.map(r =>
+          GeoFunctions.cellParent($"cell_rmax", lit(r))): _*))
+        .otherwise(array(lit(null).cast("long")))))
+
+    val candidates = resolveMode(mode, cover) match {
+      case Auto(_) => throw new IllegalStateException("Auto resolved above")
+      case Broadcast =>
+        probes.join(broadcast(cover.cells), Seq("cell"), "left")
+      case Shuffle =>
+        probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
+      case ShuffleSalted(s) =>
+        val salted = probes.withColumn("salt",
+          pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
+        val coverRep = cover.cells.withColumn("salt",
+          explode(sequence(lit(0), lit(s - 1))))
+        salted.join(coverRep.hint("merge"), Seq("cell", "salt"), "left")
+          .drop("salt")
+      case ShuffleSaltedAdaptive(s, hotThreshold) =>
+        val hot = probes.where($"cell".isNotNull)
+          .groupBy($"cell").count()
+          .where($"count" > hotThreshold)
+          .select($"cell").collect().map(r => Long.box(r.getLong(0)))
+        if (hot.isEmpty)
+          probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
+        else {
+          // null cells (coarse-rejected points) must land in exactly one
+          // branch: isInCollection(null) is NULL, so coalesce to false —
+          // they take the cold path, where a null key matches nothing
+          val isHotP = coalesce($"cell".isInCollection(hot), lit(false))
+          val cold = probes.where(!isHotP)
+            .join(cover.cells.where($"cell".isInCollection(hot) === false)
+              .hint("merge"), Seq("cell"), "left")
+          val hotProbes = probes.where(isHotP).withColumn("salt",
+            pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
+          val hotCover = cover.cells.where($"cell".isInCollection(hot))
+            .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+          val hotJoined = hotProbes
+            .join(hotCover.hint("merge"), Seq("cell", "salt"), "left")
+            .drop("salt")
+          cold.unionByName(hotJoined)
+        }
+    }
+
+    val refined = candidates
+      .join(broadcast(cover.parts), Seq("region_id", "part"), "left")
+    // null-propagating: unmatched rows have null region/rings, so `ok`
+    // evaluates null -> coalesced to false below
+    val ok = $"region_id".isNotNull &&
+      $"lat" >= $"lat_min" && $"lat" <= $"lat_max" &&
+      $"lon" >= $"lon_min" && $"lon" <= $"lon_max" &&
+      GeoFunctions.pipPacked($"lat", $"lon", $"rings_flat", $"ring_offsets")
+    val ptCols = points.columns.map(col)
+    refined
+      .groupBy(ptCols: _*)
+      .agg(sort_array(collect_set(when(coalesce(ok, lit(false)), $"region_id")))
+        .as("regions"))
+  }
+
+  /** LEFT-OUTER [[assign]]: every input point survives — matched points get
+    * one row per containing region, unmatched points one row with NULL
+    * region_id. Same single-scan property as [[assignRegions]] (which this
+    * explodes); same output rows as `assign` on the matched subset. */
+  def assignOuter(points: DataFrame, keyCol: String, cover: CoverSides,
+                  mode: Mode = Auto()): DataFrame =
+    assignRegions(points, keyCol, cover, mode)
+      .withColumn("region_id", explode_outer(col("regions")))
+      .drop("regions")
 }

@@ -89,6 +89,77 @@ object GeoQueries {
         SpatialJoin.coverDFDistributed(polyDf)).select("k", "region_id")
     },
 
+    QueryDef.sql("q_text_extract",
+      // B2's green-oracle row (the testdata has no html column, so the
+      // fixture html is CONSTRUCTED in-engine from known columns and run
+      // through the REAL byte-level extractor; the oracle computes the
+      // expected text from the same generating columns directly — it knows
+      // the construction, it never re-implements the extractor). The
+      // template exercises the whole grammar: tag strip, script AND style
+      // block drop, named + decimal + hex entity decode, whitespace
+      // collapse + trim
+      s"""WITH pts AS (${pointsSql})
+         |SELECT k, 'Doc ' || k || ' alpha&beta ' || lang || ' caf' ||
+         |  chr(233) || ' / ' || (k % 7) AS text
+         |FROM pts""".stripMargin) { (s, d) =>
+      val p = points(s, d)
+      val html = encode(concat(
+        lit("<html><head><meta name=\"geo.position\" content=\""),
+        format_string("%.2f", col("lat")), lit(";"),
+        format_string("%.2f", col("lon")),
+        lit("\">\n<title>Doc "), col("k"),
+        lit("</title></head><body>\n<p> alpha&amp;beta  "), col("lang"),
+        lit(" </p>\n<style>p { color: red }</style>\n<p>caf&#233; &#x2F; "),
+        col("k") % 7,
+        lit("</p>\n<script>var x = 1;</script>\n</body></html>")), "UTF-8")
+      p.select(col("k"), TextFunctions.extractText(html).as("text"))
+    },
+
+    QueryDef.sql("q_geo_geocode",
+      // B3's green-oracle row, same construction idea: html built from the
+      // fixture lat/lon (%.2f — the fixture coords are exact 2-decimal
+      // values, so format->parse round-trips to the same double on both
+      // sides: printf + CAST in DuckDB, format_string + the byte-windowed
+      // parser in the engine). k%13 rows carry NO marker (null coords),
+      // k%11 rows only the ICBM fallback — both parser paths are on the
+      // hash
+      s"""WITH pts AS (${pointsSql})
+         |SELECT k,
+         |  CASE WHEN k % 13 = 0 THEN NULL
+         |       ELSE CAST(printf('%.2f', lat) AS DOUBLE) END AS lat_g,
+         |  CASE WHEN k % 13 = 0 THEN NULL
+         |       ELSE CAST(printf('%.2f', lon) AS DOUBLE) END AS lon_g
+         |FROM pts""".stripMargin) { (s, d) =>
+      val p = points(s, d)
+      val marker = when(col("k") % 13 === 0, lit(""))
+        .when(col("k") % 11 === 0, concat(
+          lit("<meta name=\"ICBM\" content=\""),
+          format_string("%.2f", col("lat")), lit(", "),
+          format_string("%.2f", col("lon")), lit("\">")))
+        .otherwise(concat(
+          lit("<meta name=\"geo.position\" content=\""),
+          format_string("%.2f", col("lat")), lit(";"),
+          format_string("%.2f", col("lon")), lit("\">")))
+      val html = encode(concat(lit("<html><head>"), marker,
+        lit("<title>Doc "), col("k"),
+        lit("</title></head><body><p>body text</p></body></html>")), "UTF-8")
+      p.select(col("k"),
+        TextFunctions.geoLat(html).as("lat_g"),
+        TextFunctions.geoLon(html).as("lon_g"))
+    },
+
+    QueryDef.sql("q_geo_assign_outer",
+      // LEFT-OUTER assign: every point survives — matched points one row
+      // per containing region, unmatched one row with NULL region_id (the
+      // single-scan flagship shape; SpatialJoin.assignRegions)
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql}
+         |SELECT p.k, m.region_id
+         |FROM pts p LEFT JOIN pip_matches m ON p.k = m.k""".stripMargin) { (s, d) =>
+      SpatialJoin.assignOuter(points(s, d), "k", SpatialJoin.coverDF(s))
+        .select("k", "region_id")
+    },
+
     QueryDef.sql("q_geo_join_salted",
       s"""WITH pts AS (${pointsSql}),
          |${pipMatchesSql}

@@ -325,7 +325,9 @@ class PipelineSpec extends SparkTestBase {
       val plan = Pipeline.coverageStats(spark, pages, 8)
         .queryExecution.executedPlan.toString
       val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toList.distinct.length
-      assert(spans >= 4, s"expected >=4 codegen spans, got $spans")
+      // the round-5 single-scan shape fused the two aggregation branches
+      // into one chain: 3 spans now cover the whole flagship (was 4)
+      assert(spans >= 3, s"expected >=3 codegen spans, got $spans")
       // custom expressions run INSIDE codegen stages (star-prefixed nodes)
       assert(plan.contains("pip_contains"), "pip in plan")
       assert(!plan.contains("CodegenFallback"), "no fallback")
@@ -360,6 +362,60 @@ class PipelineSpec extends SparkTestBase {
 
   test("flagship entry returns rows at smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("coverageStats plan scans the pages relation exactly once") {
+    // the single-scan contract (SpatialJoin.assignRegions): totals and
+    // match counts come from ONE pass — the 100-TB html column must not
+    // appear as two scan leaves in the optimized plan
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val path = java.nio.file.Files.createTempDirectory("graftonepass").toString + "/pages"
+    Pages.writeCorpus(spark, 500, path, numPartitions = 2)
+    val pages = Pages.read(spark, path)
+    val plan = Pipeline.coverageStats(spark, pages, 8)
+      .queryExecution.optimizedPlan
+    val pageScans = plan.collectLeaves().collect {
+      case l: LogicalRelation if (l.relation match {
+        case r: HadoopFsRelation =>
+          r.location.rootPaths.exists(_.toString.contains("graftonepass"))
+        case _ => false
+      }) => l
+    }
+    assert(pageScans.length == 1,
+      s"expected exactly 1 pages scan, got ${pageScans.length}:\n$plan")
+  }
+
+  test("assignOuter: matched subset == assign, unmatched kept with null") {
+    val pts = GeoFixtures.points(spark, sfDir)
+    val cover = SpatialJoin.coverDF(spark)
+    val inner = SpatialJoin.assign(pts, "k", cover)
+      .select("k", "region_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outer = SpatialJoin.assignOuter(pts, "k", cover)
+      .select("k", "region_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // matched rows identical to the inner join's
+    assert(outer.collect { case (k, Some(rid)) => (k, rid) }.toSet == inner)
+    // a matched point never also carries a null row; an unmatched point
+    // carries exactly one
+    val matchedKeys = inner.map(_._1)
+    assert(outer.collect { case (k, None) => k }.toSet ==
+      pts.select("k").collect().map(_.getLong(0)).toSet -- matchedKeys)
+    assert(outer.length == outer.distinct.length)
+  }
+
+  test("assignRegions is mode-independent (broadcast/shuffle/salted/adaptive)") {
+    val pts = GeoFixtures.points(spark, sfDir)
+    val cover = SpatialJoin.coverDF(spark)
+    def run(m: SpatialJoin.Mode) =
+      SpatialJoin.assignRegions(pts, "k", cover, m)
+        .select(col("k"), col("regions")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val base = run(SpatialJoin.Broadcast)
+    assert(base.exists(_._2.nonEmpty) && base.exists(_._2.isEmpty))
+    assert(run(SpatialJoin.Shuffle) == base)
+    assert(run(SpatialJoin.ShuffleSalted(4)) == base)
+    assert(run(SpatialJoin.ShuffleSaltedAdaptive(4, 50)) == base)
   }
 }
 
