@@ -13,15 +13,17 @@ import graft.operators.SpatialJoin
  *     --lineage <dir> --run-id <id> [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]]
  *     [--zoom 8] [--tiles <dir>]
  *     [--polygons <jsonl> [--cover distributed|driver]]
- *     [--osm-boundaries <xml-glob>]
+ *     [--osm-boundaries <xml-glob> | --osm-pbf <pbf-glob>]
  *
  * --polygons joins against real boundary polygons (PolygonJson lines)
  * instead of the committed fixture set; --cover picks where Geo.cover
  * runs: `distributed` (default — executors, the large-polygon-table
  * path) or `driver` (small sets). --osm-boundaries instead assembles
  * the polygons from OSM XML boundary relations (OsmXml.readBoundaries:
- * executor-side filtering, driver-side ring stitching) — the
- * reference's actual polygon provenance, end to end through the CLI.
+ * executor-side filtering, driver-side ring stitching); --osm-pbf does
+ * the same from a PBF file (blob = split unit, so one planet file
+ * parallelizes) — the reference's actual polygon provenance, end to
+ * end through the CLI.
  *
  * Re-invoking with the same --run-id resumes: completed cell prefixes are
  * pruned before the join (plans/Lineage). On a cluster the session comes
@@ -60,20 +62,29 @@ object Main {
         case "driver" => sources.PolygonJson.coverFromJson(spark, p)
         case other => sys.error(s"unknown --cover $other")
       }
-    }.orElse(opts.get("osm-boundaries").map { glob =>
-      opts.getOrElse("cover", "driver") match {
-        case "distributed" =>
-          // planetary path: assembly AND covers on executors — geometry
-          // never passes through the driver
-          import org.apache.spark.sql.functions.col
-          val polys = sources.OsmXml.readBoundariesDistributed(spark, glob)
-            .select(col("regionId").as("region_id"), col("part"), col("rings"))
-          operators.SpatialJoin.coverDFDistributed(polys)
-        case _ =>
-          operators.SpatialJoin.coverDF(spark,
-            sources.OsmXml.readBoundaries(spark, glob))
+    }.orElse {
+      // --osm-boundaries <xml-glob> | --osm-pbf <pbf-glob>: same assembly
+      // chain, different parse (splittable blob-ranged PBF for planet
+      // files). Parsed dataset -> boundary relations -> cover.
+      val parsed = opts.get("osm-boundaries")
+        .map(g => sources.OsmXml.read(spark, g))
+        .orElse(opts.get("osm-pbf").map(g => sources.OsmPbf.read(spark, g)))
+      parsed.map { objs =>
+        opts.getOrElse("cover", "driver") match {
+          case "distributed" =>
+            // planetary path: assembly AND covers on executors — geometry
+            // never passes through the driver
+            import org.apache.spark.sql.functions.col
+            val polys = sources.OsmXml.boundariesDistributedFrom(objs)
+              .select(col("regionId").as("region_id"), col("part"), col("rings"))
+            operators.SpatialJoin.coverDFDistributed(polys)
+          case "driver" =>
+            operators.SpatialJoin.coverDF(spark,
+              sources.OsmXml.boundariesFrom(objs))
+          case other => sys.error(s"unknown --cover $other")
+        }
       }
-    })
+    }
 
     val runId = opts.getOrElse("run-id", "run")
     val n = Pipeline.runResumable(spark, pages, opts("out"),

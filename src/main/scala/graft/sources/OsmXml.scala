@@ -210,12 +210,19 @@ object OsmXml {
     * is collected into [[boundaryPolygons]]; the stitcher itself is
     * genuinely small once inputs are filtered. */
   def readBoundaries(spark: SparkSession,
-                     pathGlob: String): Seq[graft.core.Polygons.PolyPart] = {
+                     pathGlob: String): Seq[graft.core.Polygons.PolyPart] =
+    boundariesFrom(read(spark, pathGlob))
+
+  /** Source-agnostic form of [[readBoundaries]]: any OsmObject dataset
+    * (XML files, PBF blobs — OsmPbf.read emits the same rows) goes through
+    * the identical filter + stitch chain. */
+  def boundariesFrom(parsed: Dataset[OsmObject]): Seq[graft.core.Polygons.PolyPart] = {
+    val spark = parsed.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // parse once, spill to executor-local disk: the three passes below
-    // re-read the parse, not the XML
-    val objs = read(spark, pathGlob)
+    // re-read the parse, not the source bytes
+    val objs = parsed
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val rels = objs.filter(o => o.featureType == "relation" &&
@@ -271,10 +278,16 @@ object OsmXml {
     * replicated into both groups by the membership join — correct, and
     * cheap relative to geometry size. */
   def readBoundariesDistributed(spark: SparkSession, pathGlob: String)
+      : Dataset[graft.core.Polygons.PolyPart] =
+    boundariesDistributedFrom(read(spark, pathGlob))
+
+  /** Source-agnostic form of [[readBoundariesDistributed]] (XML or PBF). */
+  def boundariesDistributedFrom(parsed: Dataset[OsmObject])
       : Dataset[graft.core.Polygons.PolyPart] = {
+    val spark = parsed.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val objs = read(spark, pathGlob)
+    val objs = parsed
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val rels = objs.filter(o => o.featureType == "relation" &&
       o.tags.get("type").exists(t => t == "boundary" || t == "multipolygon"))
@@ -283,15 +296,22 @@ object OsmXml {
     // (same object in two regional files); identical member pieces must
     // collapse or the reconstructed member list doubles. Duplicate way /
     // node rows dedup downstream (piece distinct in the group, node map).
+    // kind 3 = one sentinel per boundary relation: a relation with NO way
+    // members would otherwise produce no pieces at all and silently vanish
+    // from the groupByKey — the sentinel guarantees every boundary
+    // relation reaches the stitcher, which then fails loudly ("has no
+    // outer ring") exactly as the driver path does
     val members = rels.flatMap { r =>
-      r.members.zipWithIndex.collect {
-        case (OsmMember("way", ref, role), i) =>
-          RelPiece(r.featureId, 0, i, ref, role, Nil, 0L, 0.0, 0.0, false)
-      }
+      RelPiece(r.featureId, 3, 0, 0L, "", Nil, 0L, 0.0, 0.0, false) +:
+        r.members.zipWithIndex.collect {
+          case (OsmMember("way", ref, role), i) =>
+            RelPiece(r.featureId, 0, i, ref, role, Nil, 0L, 0.0, 0.0, false)
+        }
     }.distinct()
     // ways keyed by every relation that references them
     val wayDs = objs.filter(col("featureType") === "way")
-    val ways = wayDs.joinWith(members, wayDs("featureId") === members("wayRef"))
+    val memberRefs = members.filter(col("kind") === 0) // not the sentinels
+    val ways = wayDs.joinWith(memberRefs, wayDs("featureId") === memberRefs("wayRef"))
       .map { case (w, m) =>
         RelPiece(m.relId, 1, 0, w.featureId, "", w.ndRefs, 0L, 0.0, 0.0, false) }
     // (rel, node) pairs a relation's ways need, then the node coords
@@ -329,11 +349,15 @@ object OsmXml {
   /** Feature relation for the tag-match join: objects carrying any
     * wikipedia tag, with the normalized key and error routing columns
     * (SURVEY.md §1.2-2: malformed values flow to errors, never join). */
-  def features(spark: SparkSession, pathGlob: String): DataFrame = {
+  def features(spark: SparkSession, pathGlob: String): DataFrame =
+    featuresFrom(read(spark, pathGlob))
+
+  /** Source-agnostic form of [[features]] (XML or PBF). */
+  def featuresFrom(objs: Dataset[OsmObject]): DataFrame = {
+    val spark = objs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
-    val objs = read(spark, pathGlob)
     objs.filter(o => o.tags.keys.exists(k =>
         k == "wikipedia" || k.startsWith("wikipedia:")))
       .map(o => (o.featureId, o.featureType,
