@@ -26,12 +26,22 @@ class KmvSketch(k: Int) extends Aggregator[String, List[String], Seq[String]] {
   override def reduce(b: List[String], h: String): List[String] =
     if (h == null) b else insert(b, h)
 
+  // the profiler's per-row inner loop at the 100-TB tier: reject above-
+  // k-th-minimum rows BEFORE any allocation (for a full sketch that is
+  // almost every row — the accept probability decays as k/n), and insert
+  // in place instead of re-sorting the whole list. State contract
+  // (sorted ascending, distinct, <= k) is unchanged, so sketches stay
+  // bit-identical to the naive form (q_agg_kmv hash-checked).
   private def insert(b: List[String], h: String): List[String] = {
-    if (b.contains(h)) b
-    else {
-      val merged = (h :: b).sorted
-      if (merged.length > k) merged.take(k) else merged
-    }
+    val n = b.length
+    // zero-alloc fast path: a full sketch rejects anything >= its k-th
+    // minimum (almost every row once n >> k — accept probability ~ k/n);
+    // h == last is the duplicate-of-last case, also state-unchanged
+    if (n >= k && h.compareTo(b.last) >= 0) return b
+    val (lt, geq) = b.span(_.compareTo(h) < 0)
+    if (geq.nonEmpty && geq.head == h) return b // duplicate
+    val merged = lt ::: (h :: geq)              // in-place ordered insert
+    if (n + 1 > k) merged.take(k) else merged
   }
 
   override def merge(a: List[String], b: List[String]): List[String] =

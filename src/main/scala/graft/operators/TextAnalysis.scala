@@ -23,16 +23,24 @@ object TextAnalysis {
 
   /** Count of words from `list` present in the space-split text. */
   def markerHits(textCol: Column, list: Seq[String]): Column =
-    size(filter(split(textCol, " "),
-      w => list.map(m => w === m).reduce(_ || _)))
+    markerHitsOnWords(split(textCol, " "), list)
+
+  /** Same, over an already-split word array (so one split serves many
+    * language counters). */
+  def markerHitsOnWords(wordsCol: Column, list: Seq[String]): Column =
+    size(filter(wordsCol, w => list.map(m => w === m).reduce(_ || _)))
 
   /** (doc rows) + lang_pred + per-language hit counts. Argmax across
-    * languages, ties -> lexicographically smallest language code. */
+    * languages, ties -> lexicographically smallest language code.
+    * The text is split ONCE and the word array reused by all five hit
+    * counters (round-4 advice: per-language re-splits were 5x the string
+    * work for identical results). */
   def languageId(docs: DataFrame, textCol: String): DataFrame = {
     val langs = markers.keys.toSeq.sorted
-    val withHits = langs.foldLeft(docs) { (df, l) =>
-      df.withColumn(s"hits_$l", markerHits(col(textCol), markers(l)))
-    }
+    val withWords = docs.withColumn("__words", split(col(textCol), " "))
+    val withHits = langs.foldLeft(withWords) { (df, l) =>
+      df.withColumn(s"hits_$l", markerHitsOnWords(col("__words"), markers(l)))
+    }.drop("__words")
     // argmax with deterministic tiebreak: sort (hits desc, lang asc)
     val best = array_sort(array(langs.map(l =>
       struct((lit(1000000) - col(s"hits_$l")).as("neg"), lit(l).as("lang"))): _*))
@@ -162,11 +170,9 @@ object TextAnalysis {
   def rollingPairsFromHashes(hashes: DataFrame, idCol: String,
                              minShared: Int = 2,
                              maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val capped = hashes
-      .withColumn("__bn", count("*").over(wSz))
-      .where(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // oversize buckets dropped via the shared broadcast-anti shape (see
+    // Dedup.dropOversize for the A/B vs the window form)
+    val capped = Dedup.dropOversize(hashes, Seq("h"), maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

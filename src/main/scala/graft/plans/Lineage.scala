@@ -73,6 +73,44 @@ object Lineage {
       .where(col("run_id") === runId)
       .select("cell_prefix").distinct()
 
+  /** Latest per-prefix stats of one run: retried prefixes append
+    * idempotent rows, so last write wins via max(completed_at). */
+  def runStats(spark: SparkSession, lineagePath: String,
+               runId: String): DataFrame =
+    spark.read.parquet(lineagePath)
+      .where(col("run_id") === runId)
+      .groupBy(col("cell_prefix"))
+      .agg(max_by(struct(col("row_count"), col("row_hash")),
+        col("completed_at")).as("s"))
+      .select(col("cell_prefix"), col("s.row_count").as("row_count"),
+        col("s.row_hash").as("row_hash"))
+
+  /** Run-over-run HISTORY relation (the reference's stage F keeps deltas
+    * vs the previously published run [PK]; SURVEY §2.A15 over REAL run
+    * artifacts): full-outer join of two runs' per-prefix lineage stats,
+    * classified added / removed / changed / unchanged. The row_hash is the
+    * order-independent xor checksum writeWithLineage records, so "changed"
+    * detects any row-set difference inside a prefix without re-reading
+    * either run's data — the history query runs off the tiny lineage
+    * table alone (at 10^12 pages that is the difference between a metadata
+    * join and a full-output diff). */
+  def runDelta(spark: SparkSession, lineagePath: String,
+               runOld: String, runNew: String): DataFrame = {
+    val a = runStats(spark, lineagePath, runOld)
+      .select(col("cell_prefix"), col("row_count").as("rows_old"),
+        col("row_hash").as("hash_old"))
+    val b = runStats(spark, lineagePath, runNew)
+      .select(col("cell_prefix"), col("row_count").as("rows_new"),
+        col("row_hash").as("hash_new"))
+    a.join(b, Seq("cell_prefix"), "full_outer")
+      .withColumn("change",
+        when(col("rows_old").isNull, "added")
+          .when(col("rows_new").isNull, "removed")
+          .when(col("rows_old") =!= col("rows_new") ||
+                col("hash_old") =!= col("hash_new"), "changed")
+          .otherwise("unchanged"))
+  }
+
   /** Resume filter: drop input rows whose cell prefix is already complete.
     * Small sets go through isInCollection (pushdown-friendly literal
     * predicate); large through a left-anti join. */

@@ -24,12 +24,22 @@ object SessionCaches {
     * memo evictions "eagerly unpersisting" that way still leaked blocks
     * until the full sweep). This walks the narrow-dependency chain down to
     * the first RDD actually registered at a storage level and unpersists
-    * that one. Swallows failures from already-stopped sessions. */
+    * that one — but ONLY if that RDD is a checkpoint product
+    * (isLocallyCheckpointed/isCheckpointed): a memoized frame derived from
+    * a CALLER-persisted input must never have that input silently
+    * unpersisted by memo eviction (round-4 advice — latent foot-gun; every
+    * engine memo today is a checkpoint root, and the ownership rule is now
+    * enforced here rather than assumed at each memo site). Swallows
+    * failures from already-stopped sessions. */
   def unpersistCheckpointed(df: org.apache.spark.sql.Dataset[_]): Unit = {
     import org.apache.spark.storage.StorageLevel
     def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (r.getStorageLevel != StorageLevel.NONE) { r.unpersist(blocking = false); () }
-      else r.dependencies.foreach(d => walk(d.rdd))
+      if (r.getStorageLevel != StorageLevel.NONE) {
+        if (org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r) ||
+            r.isCheckpointed) {
+          r.unpersist(blocking = false); ()
+        } // else: caller-persisted input — not this helper's to evict
+      } else r.dependencies.foreach(d => walk(d.rdd))
     try walk(df.queryExecution.toRdd)
     catch { case _: Throwable => () } // session may already be stopped
   }

@@ -357,5 +357,55 @@ object GeoQueries {
         .rollup(col("theme"), col("region_id"))
         .agg(count("*").as("n"))
         .select("theme", "region_id", "n")
+    },
+
+    QueryDef.sql("q_geo_theme_rollup",
+      // the REAL category-tree dimension (SURVEY §1.4 Category/
+      // PageCategory; the reference rolls matches up a curated category →
+      // theme hierarchy): a two-level parent/child Category relation
+      // derived from nation→region, pages assigned to leaf categories,
+      // and the rollup resolved through a PARENT-EDGE SELF-JOIN on the
+      // one Category relation — the "deeper trees" path of §2.A10, not a
+      // modulo-synthesized theme
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql},
+         |category AS (
+         |  SELECT r_regionkey AS cat_id, r_name AS name,
+         |         CAST(NULL AS BIGINT) AS parent_id FROM region
+         |  UNION ALL
+         |  SELECT n_nationkey + 100, n_name, CAST(n_regionkey AS BIGINT)
+         |  FROM nation),
+         |pagecat AS (SELECT k, 100 + k % 25 AS cat_id FROM pts)
+         |SELECT p.name AS theme, c.name AS category,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pip_matches m
+         |JOIN pagecat pc ON m.k = pc.k
+         |JOIN category c ON pc.cat_id = c.cat_id
+         |JOIN category p ON c.parent_id = p.cat_id
+         |GROUP BY ROLLUP (theme, category)""".stripMargin) { (s, d) =>
+      val category = table(s, d, "region").select(
+          col("r_regionkey").cast("long").as("cat_id"),
+          col("r_name").as("name"),
+          lit(null).cast("long").as("parent_id"))
+        .unionByName(table(s, d, "nation").select(
+          (col("n_nationkey") + 100).cast("long").as("cat_id"),
+          col("n_name").as("name"),
+          col("n_regionkey").cast("long").as("parent_id")))
+      val pagecat = points(s, d).select(col("k"),
+        (lit(100) + col("k") % 25).as("cat_id"))
+      // parent edge: the SAME relation joined twice (child row -> its
+      // parent row), disambiguated by projection — a tiny dim, both hops
+      // broadcast
+      val child = category.select(col("cat_id").as("c_id"),
+        col("name").as("category"), col("parent_id"))
+      val parent = category.select(col("cat_id").as("p_id"),
+        col("name").as("theme"))
+      assigned(s, d).select("k")
+        .join(pagecat, "k")
+        .join(broadcast(child), col("cat_id") === col("c_id"))
+        .join(broadcast(parent), col("parent_id") === col("p_id"))
+        .rollup(col("theme"), col("category"))
+        .agg(count("*").as("n"))
+        .select("theme", "category", "n")
     })
 }

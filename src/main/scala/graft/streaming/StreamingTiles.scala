@@ -83,10 +83,18 @@ object StreamingTiles {
         import graft.operators.Dedup
         val banded = Dedup.minhashBanded(batch, "doc_id", "text",
           w, numHashes, rowsPerBand)
-        val pairs = Dedup.incrementalPairsFromBanded(banded, refBanded, "doc_id")
-        Dedup.keepNovel(batch, "doc_id", pairs)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+        try {
+          val pairs = Dedup.incrementalPairsFromBanded(banded, refBanded, "doc_id")
+          Dedup.keepNovel(batch, "doc_id", pairs)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        } finally
+          // minhashBanded localCheckpoints; under a caller-overridden
+          // continuous trigger (AvailableNow is only this writer's
+          // default) the per-batch checkpoint blocks would otherwise
+          // accumulate for the life of the stream (round-4 advice — the
+          // SessionCaches pinned-block leak class)
+          graft.plans.SessionCaches.unpersistCheckpointed(banded)
       }
       .trigger(Trigger.AvailableNow())
 }

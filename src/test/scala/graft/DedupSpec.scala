@@ -166,6 +166,61 @@ class DedupSpec extends SparkTestBase {
     assert(inc == full && inc == Set((10L, 1L), (11L, 2L)))
   }
 
+  test("explode+agg signatures == reference HOF form (incl. null/empty/short)") {
+    // the round-5 scale rewrite (HOF lambdas run interpreted; see
+    // minhashSignatures scaladoc) must be bit-identical on every edge:
+    // normal, shorter-than-w, single-word, empty, null
+    val d = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "two words"),
+      (3L, "one"),
+      (4L, ""),
+      (5L, null)))
+    val viaAgg = Dedup.minhashSignatures(d, "doc_id", "text", w = 3, numHashes = 4)
+    val sig = (0 until 4).map(i =>
+      Dedup.minhash(Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3), i)
+        .as(s"mh$i"))
+    val viaHof = d.select(
+      org.apache.spark.sql.functions.col("doc_id") +: sig: _*)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (1 to 4).map(i =>
+        if (r.isNullAt(i)) null else r.getString(i)))).toSet
+    assert(rows(viaAgg) == rows(viaHof))
+    assert(rows(viaAgg).size == 5) // null/empty docs still present
+  }
+
+  test("persisted banded keys: crawl cycle off the parquet table == in-memory chain") {
+    // the production K27 loop: band the kept corpus ONCE, write the keys,
+    // then each cycle reads the table and bands only the NEW side
+    def banded(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBanded(d, "doc_id", "text", w = 2, numHashes = 4, rowsPerBand = 2)
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = docs(Seq(
+      (1L, shared), (3L, "completely different reference content nothing alike")))
+    val nw = docs(Seq(
+      (20L, shared), (22L, "genuinely novel text matching nothing at all here")))
+    val path = java.nio.file.Files.createTempDirectory("graftbanded").toString + "/ref_keys"
+    Dedup.writeBandedKeys(banded(ref), path)
+    val persisted = Dedup.readBandedKeys(spark, path)
+    // exact same rows back (schema shape restored: id, band INT, bucket)
+    assert(persisted.columns.toSeq == Seq("doc_id", "band", "bucket"))
+    assert(persisted.schema("band").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows(persisted) == rows(banded(ref)))
+    // the cycle itself: pairs and keepNovel off the persisted table equal
+    // the in-memory chain
+    def pairSet(refB: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalPairsFromBanded(banded(nw), refB, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(persisted) == pairSet(banded(ref)))
+    val novel = Dedup.keepNovel(nw, "doc_id",
+        Dedup.incrementalPairsFromBanded(banded(nw), persisted, "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(22L))
+  }
+
   test("ngramJaccardVerify scores exactly the candidate pairs it is given") {
     val d = docs(Seq(
       (1L, "abcdef"),

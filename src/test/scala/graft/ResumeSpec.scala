@@ -85,6 +85,53 @@ class ResumeSpec extends SparkTestBase {
     assert(hashes(lin) == hashes(lin2))
   }
 
+  test("run history: runDelta classifies added/removed/changed/unchanged prefixes") {
+    // two REAL flagship runs into one lineage table, with an injected
+    // corpus change between them; the delta comes off the lineage alone
+    val pages = Pages.synthesize(spark, 3000, 16)
+    val ptsAll = Lineage.withPrefix(Pipeline.geocode(pages))
+    // the "changed" prefix must lose a MATCHED url (an unmatched url's
+    // removal leaves row_count and hash identical — correctly unchanged),
+    // so candidate prefixes come from the matched output
+    val matched = Lineage.withPrefix(Pipeline.matches(spark, pages))
+    val prefixes = matched.select("cell_prefix").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(prefixes.length >= 4)
+    // "changed" needs a prefix that SURVIVES losing one url: >= 2 matched
+    val multi = matched.groupBy("cell_prefix")
+      .agg(countDistinct(col("url")).as("nu"))
+      .where(col("nu") >= 2).select("cell_prefix")
+      .collect().map(_.getLong(0)).sorted
+    assert(multi.nonEmpty)
+    val pChanged = multi.head
+    val Seq(pRemoved, pAdded) =
+      prefixes.filterNot(_ == pChanged).take(2).toSeq
+    def urlsOf(pred: org.apache.spark.sql.Column) =
+      ptsAll.where(pred).select("url")
+    // run OLD: everything except prefix pAdded
+    val (out, lin) = freshDirs()
+    val inOld = pages.join(urlsOf(col("cell_prefix") === pAdded),
+      Seq("url"), "left_anti")
+    Pipeline.runResumable(spark, inOld, out, lin, "old")
+    // run NEW: drops SOME matched urls of pChanged, ALL of pRemoved
+    val someChanged = matched.where(col("cell_prefix") === pChanged)
+      .select("url").distinct().limit(1)
+    val inNew = pages
+      .join(someChanged, Seq("url"), "left_anti")
+      .join(urlsOf(col("cell_prefix") === pRemoved), Seq("url"), "left_anti")
+    val (out2, _) = freshDirs()
+    Pipeline.runResumable(spark, inNew, out2, lin, "new")
+    val delta = Lineage.runDelta(spark, lin, "old", "new")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("change")).toMap
+    assert(delta(pAdded) == "added")
+    assert(delta(pRemoved) == "removed")
+    assert(delta(pChanged) == "changed")
+    // every other prefix (matched or zero-match) is untouched
+    val special = Set(pChanged, pRemoved, pAdded)
+    assert(delta.nonEmpty &&
+      delta.filterNot(kv => special(kv._1)).values.forall(_ == "unchanged"))
+  }
+
   test("runResumable dumps per-stage metrics JSON next to the lineage") {
     val pages = Pages.synthesize(spark, 800, 4)
     val (out, lin) = freshDirs()
