@@ -9,7 +9,8 @@ import graft.operators.SpatialJoin
  * spark-submit"): runs the resumable flagship pipeline over a pages table.
  *
  *   spark-submit --class graft.Main engine.jar \
- *     --pages <path> [--format parquet|iceberg] --out <dir> \
+ *     --pages <path> [--format parquet|iceberg] | --warc <glob> \
+ *     --out <dir> \
  *     --lineage <dir> --run-id <id> [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]]
  *     [--zoom 8] [--tiles <dir>]
  *     [--polygons <jsonl> [--cover distributed|driver]]
@@ -42,8 +43,12 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages = spark.read.format(opts.getOrElse("format", "parquet"))
-      .load(opts("pages"))
+    // --pages <path> (parquet/iceberg table, input_hint shape) or
+    // --warc <glob> (Common-Crawl-native WARC files, one task per file;
+    // the flagship consumes only url+html, which WARC carries)
+    val pages = opts.get("pages")
+      .map(p => spark.read.format(opts.getOrElse("format", "parquet")).load(p))
+      .getOrElse(sources.Warc.read(spark, opts("warc")))
     val mode: SpatialJoin.Mode = opts.getOrElse("mode", "auto") match {
       case "auto" => SpatialJoin.Auto() // size-based broadcast/shuffle pick
       case s if s.startsWith("auto:") =>
@@ -109,8 +114,8 @@ object Main {
       m(args(i).drop(2)) = args(i + 1)
       i += 2
     }
-    require(m.contains("pages") && m.contains("out"),
-      "--pages and --out are required")
+    require((m.contains("pages") || m.contains("warc")) && m.contains("out"),
+      "--pages (or --warc) and --out are required")
     m.toMap
   }
 }
