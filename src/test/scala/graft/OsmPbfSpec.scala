@@ -150,6 +150,33 @@ class OsmPbfSpec extends SparkTestBase {
        Option(eDist.getCause).exists(_.getMessage.contains("no outer ring"))))
   }
 
+  test("10^6-object PBF: multi-blob split, executor filtering, identical polygons") {
+    // the planet-file shape at volume: a million bulk nodes drowning a
+    // handful of boundary objects, split across ~250 blobs — decode
+    // parallelizes per blob, the filter chain runs executor-side, and
+    // both assembly paths emit the same PolyParts as the pure stitcher
+    import graft.sources.OsmXml.OsmObject
+    val bulk = (0 until 1000000).map(i =>
+      OsmObject(100000L + i, "node", Some(1.0), Some(1.0), Map.empty))
+    val boundary = xmlObjs // corners, two-way shell, hole, tagged nodes
+    val noise = Seq(
+      OsmObject(9000L, "way", None, None, Map.empty, Seq(100000L, 100001L)),
+      OsmObject(8000L, "relation", None, None, Map("type" -> "route"), Nil,
+        Seq(graft.sources.OsmXml.OsmMember("way", 9000L, ""))))
+    val path = tmp("big.pbf")
+    PbfTestWriter.write(path, boundary ++ bulk ++ noise, perBlob = 4096)
+    val slices = OsmPbf.blobSlices(spark, path)
+    assert(slices.length > 200, s"expected multi-blob framing, got ${slices.length}")
+    val full = OsmXml.boundaryPolygons(boundary)
+    def render(ps: Seq[graft.core.Polygons.PolyPart]) =
+      ps.map(p => (p.regionId, p.part, p.rings.map(_.toSeq).toSeq))
+    val driver = OsmXml.boundariesFrom(OsmPbf.read(spark, path))
+    assert(render(driver) == render(full))
+    val dist = OsmXml.boundariesDistributedFrom(OsmPbf.read(spark, path))
+      .collect().toSeq.sortBy(p => (p.regionId, p.part))
+    assert(render(dist) == render(full) && full.nonEmpty)
+  }
+
   test("PBF -> boundaries -> distributed cover -> spatial join, end to end") {
     import spark.implicits._
     import graft.operators.SpatialJoin
