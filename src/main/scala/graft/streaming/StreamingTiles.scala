@@ -64,6 +64,24 @@ object StreamingTiles {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming twin of the round-5 single-scan flagship: per-micro-batch
+    * coverage stats (tile_x, tile_y, pages, tok_sum, matched, batch_id)
+    * appended as incremental snapshots — each batch is one crawl
+    * increment run through the exact batch plan (Pipeline.coverageStats
+    * over SpatialJoin.assignRegions), so stream == batch semantics hold
+    * by construction; per-tile roll-up across batches is a plain
+    * downstream aggregation (counts and token sums are additive). */
+  def coverageSink(spark: SparkSession, pages: DataFrame, outPath: String,
+                   z: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    pages.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Pipeline.coverageStats(spark, batch, z)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming incremental dedup — K27's streaming twin: a continuous
     * stream of NEW documents filtered against a STATIC kept corpus. The
     * reference side's banded MinHash keys are computed ONCE outside the

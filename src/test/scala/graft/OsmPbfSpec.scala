@@ -150,6 +150,44 @@ class OsmPbfSpec extends SparkTestBase {
        Option(eDist.getCause).exists(_.getMessage.contains("no outer ring"))))
   }
 
+  test("fuzz: 300 random objects (unicode tags, negative coords, deltas) round-trip") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.sources.OsmXml.OsmMember
+    def sample[A](g: Gen[A], i: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(i), retries = 1000)
+    // coordinates ON the granularity-100 nanodegree grid, as the format
+    // stores them; expected double = nano/1e9 (the decode contract)
+    val nanoLat = Gen.chooseNum(-900000000L, 900000000L).map(_ * 100)
+    val nanoLon = Gen.chooseNum(-1800000000L, 1800000000L).map(_ * 100)
+    val tagStr = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("café ü 東京"), Gen.const("a=b|c;d"), Gen.const(""))
+    val tagsGen = Gen.mapOfN(2, Gen.zip(tagStr.suchThat(_.nonEmpty), tagStr))
+    val objGen: Gen[OsmObject] = Gen.oneOf(
+      Gen.zip(Gen.chooseNum(1L, 1L << 40), nanoLat, nanoLon, tagsGen).map {
+        case (id, la, lo, t) =>
+          OsmObject(id, "node", Some(la / 1e9), Some(lo / 1e9), t)
+      },
+      Gen.zip(Gen.chooseNum(1L, 1L << 40), tagsGen,
+        Gen.listOfN(5, Gen.chooseNum(1L, 1L << 44))).map {
+        case (id, t, refs) => OsmObject(id, "way", None, None, t, refs)
+      },
+      Gen.zip(Gen.chooseNum(1L, 1L << 40), tagsGen,
+        Gen.listOfN(3, Gen.zip(Gen.oneOf("node", "way", "relation"),
+          Gen.chooseNum(1L, 1L << 44), tagStr))).map {
+        case (id, t, ms) => OsmObject(id, "relation", None, None, t, Nil,
+          ms.map { case (mt, ref, role) => OsmMember(mt, ref, role) })
+      })
+    val objs = (0 until 300).map(i => sample(objGen, i.toLong))
+      .distinctBy(o => (o.featureType, o.featureId))
+    for (dense <- Seq(true, false)) {
+      val path = tmp(s"fuzz$dense.pbf")
+      PbfTestWriter.write(path, objs, dense = dense, perBlob = 37)
+      val got = OsmPbf.read(spark, path).collect().toSeq.sortBy(sortKey)
+      assert(got == objs.sortBy(sortKey))
+    }
+  }
+
   test("10^6-object PBF: multi-blob split, executor filtering, identical polygons") {
     // the planet-file shape at volume: a million bulk nodes drowning a
     // handful of boundary objects, split across ~250 blobs — decode

@@ -31,6 +31,41 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("streaming coverage == batch coverage (single batch); additive across batches") {
+    val base = java.nio.file.Files.createTempDirectory("graftcovstream").toString
+    val pages = Pages.synthesize(spark, 1200, 6)
+    pages.write.parquet(s"$base/src")
+    // single-batch run: exact row parity with the batch flagship
+    val one = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", "100").parquet(s"$base/src")
+    StreamingTiles.coverageSink(spark, one, s"$base/out1", z = 7)
+      .option("checkpointLocation", s"$base/ckpt1").start()
+      .awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("tile_x", "tile_y", "pages", "tok_sum", "matched").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = rows(Pipeline.coverageStats(spark, pages, z = 7))
+    assert(batch.nonEmpty && rows(spark.read.parquet(s"$base/out1")) == batch)
+    // multi-batch run: per-batch snapshots roll up to the batch totals
+    // (counts and sums are additive; `matched` is additive because a url
+    // appears in exactly one micro-batch)
+    val many = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+    StreamingTiles.coverageSink(spark, many, s"$base/out2", z = 7)
+      .option("checkpointLocation", s"$base/ckpt2").start()
+      .awaitTermination(120000)
+    val out2 = spark.read.parquet(s"$base/out2")
+    assert(out2.select("batch_id").distinct().count() > 1)
+    val rolled = out2.groupBy("tile_x", "tile_y")
+      .agg(sum("pages").as("pages"), sum("tok_sum").as("tok_sum"),
+        sum("matched").as("matched"))
+      .select("tile_x", "tile_y", "pages", "tok_sum", "matched").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rolled == batch)
+  }
+
   test("streaming incremental dedup == batch keepNovel against the same reference") {
     import graft.operators.Dedup
     import spark.implicits._
