@@ -77,7 +77,12 @@ object Lineage {
     * idempotent rows, so last write wins via max(completed_at). */
   def runStats(spark: SparkSession, lineagePath: String,
                runId: String): DataFrame =
-    spark.read.parquet(lineagePath)
+    runStatsFrom(spark.read.parquet(lineagePath), runId)
+
+  /** Relation form (any lineage-shaped DataFrame — parquet, Iceberg, or
+    * constructed; the oracle query q_lineage_delta drives this). */
+  def runStatsFrom(lineage: DataFrame, runId: String): DataFrame =
+    lineage
       .where(col("run_id") === runId)
       .groupBy(col("cell_prefix"))
       .agg(max_by(struct(col("row_count"), col("row_hash")),
@@ -95,11 +100,16 @@ object Lineage {
     * table alone (at 10^12 pages that is the difference between a metadata
     * join and a full-output diff). */
   def runDelta(spark: SparkSession, lineagePath: String,
-               runOld: String, runNew: String): DataFrame = {
-    val a = runStats(spark, lineagePath, runOld)
+               runOld: String, runNew: String): DataFrame =
+    runDeltaFrom(spark.read.parquet(lineagePath), runOld, runNew)
+
+  /** Relation form of [[runDelta]]. */
+  def runDeltaFrom(lineage: DataFrame,
+                   runOld: String, runNew: String): DataFrame = {
+    val a = runStatsFrom(lineage, runOld)
       .select(col("cell_prefix"), col("row_count").as("rows_old"),
         col("row_hash").as("hash_old"))
-    val b = runStats(spark, lineagePath, runNew)
+    val b = runStatsFrom(lineage, runNew)
       .select(col("cell_prefix"), col("row_count").as("rows_new"),
         col("row_hash").as("hash_new"))
     a.join(b, Seq("cell_prefix"), "full_outer")

@@ -177,6 +177,46 @@ object RelationalQueries {
           (coalesce(col("c.n"), lit(0L)) - coalesce(col("p.n"), lit(0L))).as("delta"))
     },
 
+    QueryDef.sql("q_lineage_delta",
+      // the run-history relation (Lineage.runDeltaFrom) under oracle: a
+      // lineage table constructed deterministically from orders — run
+      // "old" misses prefix 1 (added), run "new" misses prefix 2
+      // (removed) and drops every 97th order (changed); the engine side
+      // also injects a CORRUPTED retry row for prefix 3 at an EARLIER
+      // completed_at, which last-write-wins must discard — the oracle
+      // doesn't model it precisely because its effect must be nil
+      """WITH base AS (SELECT o_orderkey % 40 AS cell_prefix, o_orderkey FROM orders),
+        |old_s AS (SELECT cell_prefix, CAST(count(*) AS BIGINT) rc,
+        |                 CAST(sum(o_orderkey % 7919) AS BIGINT) rh
+        |          FROM base WHERE cell_prefix <> 1 GROUP BY 1),
+        |new_s AS (SELECT cell_prefix, CAST(count(*) AS BIGINT) rc,
+        |                 CAST(sum(o_orderkey % 7919) AS BIGINT) rh
+        |          FROM base WHERE cell_prefix <> 2 AND o_orderkey % 97 <> 0
+        |          GROUP BY 1)
+        |SELECT coalesce(o.cell_prefix, n.cell_prefix) AS cell_prefix,
+        |  o.rc AS rows_old, n.rc AS rows_new,
+        |  CASE WHEN o.rc IS NULL THEN 'added'
+        |       WHEN n.rc IS NULL THEN 'removed'
+        |       WHEN o.rc <> n.rc OR o.rh <> n.rh THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM old_s o FULL OUTER JOIN new_s n ON o.cell_prefix = n.cell_prefix""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+        .select((col("o_orderkey") % 40).as("cell_prefix"), col("o_orderkey"))
+      def stats(df: DataFrame) = df.groupBy(col("cell_prefix"))
+        .agg(count("*").as("row_count"),
+          sum(col("o_orderkey") % 7919).as("row_hash"))
+      val old = stats(o.where(col("cell_prefix") =!= 1))
+        .withColumn("run_id", lit("old")).withColumn("completed_at", lit("t1"))
+      val nw = stats(o.where(col("cell_prefix") =!= 2 && col("o_orderkey") % 97 =!= 0))
+        .withColumn("run_id", lit("new")).withColumn("completed_at", lit("t2"))
+      val retry = old.where(col("cell_prefix") === 3)
+        .withColumn("row_count", lit(-999L)).withColumn("row_hash", lit(-1L))
+        .withColumn("completed_at", lit("t0"))
+      graft.plans.Lineage
+        .runDeltaFrom(old.unionByName(nw).unionByName(retry), "old", "new")
+        .select("cell_prefix", "rows_old", "rows_new", "change")
+    },
+
     QueryDef.sql("q_b9_time",
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  CAST(count(*) AS BIGINT) AS n,
