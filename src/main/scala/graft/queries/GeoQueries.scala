@@ -346,6 +346,31 @@ object GeoQueries {
         .select("k", "error_class")
     },
 
+    QueryDef.sql("q_pub_progress",
+      // the publish layer's aggregation core (Publish.progressSummary)
+      // over a tag-classified, region-assigned feature relation built
+      // from the geo fixture. The one-decimal pct column is deliberately
+      // NOT oracled: Java's %.1f rounds HALF_UP while C printf rounds
+      // half-even, so an exactly-representable x.x5 ratio (e.g. 53/80 =
+      // 66.25) would hash-differ; pct stays spec-tested (PublishSpec)
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql},
+         |f AS (SELECT m.region_id,
+         |        CASE WHEN wiki_raw LIKE 'http://%' OR wiki_raw LIKE 'https://%'
+         |               THEN 'url_value'
+         |             WHEN wiki_raw NOT LIKE '%:%' THEN 'missing_lang'
+         |             ELSE 'ok' END AS error_class
+         |      FROM pip_matches m JOIN pts p ON m.k = p.k)
+         |SELECT region_id, CAST(count(*) AS BIGINT) AS total,
+         |  CAST(sum(CASE WHEN error_class = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS tagged,
+         |  CAST(sum(CASE WHEN error_class <> 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+         |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val feats = assigned(s, d).select(col("region_id"),
+        TextFunctions.tagClassify(col("wiki_raw")).as("error_class"))
+      graft.operators.Publish.progressSummary(feats)
+        .select("region_id", "total", "tagged", "errors")
+    },
+
     QueryDef.sql("q_geo_region_rollup",
       s"""WITH pts AS (${pointsSql}),
          |${pipMatchesSql}
