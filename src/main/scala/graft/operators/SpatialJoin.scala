@@ -300,7 +300,16 @@ object SpatialJoin {
     * row (a join key of null never matches, so they ride through both
     * joins untouched — no 6x explode where a match is impossible); all
     * joins are LEFT; the final per-point groupBy costs the same single
-    * wide shuffle [[assign]]'s dedup pays. */
+    * wide shuffle [[assign]]'s dedup pays, and its partial aggregation
+    * collapses the probe explode MAP-SIDE (plan-audited: partial
+    * collect_set under the exchange), so the shuffle carries one row per
+    * point.
+    *
+    * Single-scan caveat: ShuffleSaltedAdaptive's hot-cell detection runs
+    * a separate counting job over the probe side, i.e. a second scan of
+    * the input — callers relying on the one-scan property (the flagship
+    * coverage job) should pass Broadcast/Shuffle/ShuffleSalted, or
+    * pre-materialize the narrow point frame. */
   def assignRegions(points: DataFrame, keyCol: String, cover: CoverSides,
                     mode: Mode = Auto()): DataFrame = {
     import points.sparkSession.implicits._

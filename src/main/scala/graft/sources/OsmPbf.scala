@@ -124,7 +124,11 @@ object OsmPbf {
 
   /** Scan blob framing only: seek over payloads, return OSMData slices.
     * Uses Hadoop FS streams, so local, HDFS and object-store paths all
-    * work; per-blob cost is one ~40-byte header read + one seek. */
+    * work; per-blob cost is one ~40-byte header read + one seek. On an
+    * object store each seek is a ranged GET (~50k for a planet file —
+    * one-time framing cost, small next to decoding the ~80 GB of
+    * payload; if it ever matters, persist the slice list once per file
+    * revision the same way the banded-keys table is persisted). */
   def blobSlices(spark: SparkSession, pathGlob: String): Seq[BlobSlice] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val glob = new org.apache.hadoop.fs.Path(pathGlob)
