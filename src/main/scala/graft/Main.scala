@@ -11,7 +11,11 @@ import graft.operators.SpatialJoin
  *   spark-submit --class graft.Main engine.jar \
  *     --pages <path> [--format parquet|iceberg] | --warc <glob> \
  *     --out <dir> \
- *     --lineage <dir> --run-id <id> [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]]
+ *     --lineage <dir> --run-id <id>
+ *     [--mode auto[:maxCells]|broadcast|shuffle|salted[:S]|salted-hot[:S]]
+ *     [--hot-tiles <dir> --hot-threshold <n>]   (with salted-hot: hot set
+ *       from a previous run's --tiles output — skew salting with zero
+ *       extra scans of the corpus)
  *     [--zoom 8] [--tiles <dir>]
  *     [--polygons <jsonl> [--cover distributed|driver]]
  *     [--osm-boundaries <xml-glob> | --osm-pbf <pbf-glob>]
@@ -55,6 +59,18 @@ object Main {
         SpatialJoin.Auto(maxBroadcastCells = s.split(":")(1).toLong)
       case "broadcast" => SpatialJoin.Broadcast
       case "shuffle" => SpatialJoin.Shuffle
+      case s if s.startsWith("salted-hot") =>
+        // skew handling with ZERO extra scans: hot tiles come from a
+        // PREVIOUS run's persisted --tiles output (the crawl-cycle steady
+        // state) instead of the adaptive mode's counting pass
+        val n = s.split(":").lift(1).map(_.toInt).getOrElse(8)
+        val statsPath = opts.getOrElse("hot-tiles",
+          sys.error("--mode salted-hot requires --hot-tiles <tile-stats dir>"))
+        val z = opts.getOrElse("zoom", "8").toInt
+        val threshold = opts.getOrElse("hot-threshold", "1000000").toLong
+        SpatialJoin.ShuffleSaltedHot(n,
+          SpatialJoin.hotTilesFromStats(
+            spark.read.parquet(statsPath), z, threshold), z)
       case s if s.startsWith("salted") =>
         val n = s.split(":").lift(1).map(_.toInt).getOrElse(8)
         SpatialJoin.ShuffleSalted(n)

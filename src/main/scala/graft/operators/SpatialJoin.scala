@@ -41,6 +41,81 @@ object SpatialJoin {
     * hot cells the salted path, results unioned before refine. This is the
     * targeted form of C6 — replication cost is paid only where skew is. */
   final case class ShuffleSaltedAdaptive(s: Int, hotThreshold: Long) extends Mode
+  /** [[ShuffleSaltedAdaptive]] with the hot set PRE-DECLARED instead of
+    * detected: `hotTiles` are cell ids at resolution `tileZoom` (the tile
+    * grid), typically taken from a PREVIOUS run's persisted per-tile stats
+    * via [[hotTilesFromStats]]. A probe/cover cell is hot when it lies
+    * under (or over) a hot tile; hot cells take the salted path, cold the
+    * plain sort-merge path — exactly the adaptive plan, minus its
+    * detection pass. That pass is the adaptive mode's 100-TB flaw: the
+    * counting aggregation is a SECOND full scan of the probe input, which
+    * breaks the single-scan property of the flagship coverage job
+    * ([[assignRegions]]). In the crawl-cycle steady state the previous
+    * run's tile stats already exist (the flagship writes them every run),
+    * so skew handling costs zero extra scans. Empty `hotTiles` degrades to
+    * plain [[Shuffle]]. */
+  final case class ShuffleSaltedHot(s: Int, hotTiles: Seq[Long],
+                                    tileZoom: Int) extends Mode
+
+  /** Hot-tile extraction from a persisted tile-stats relation (the
+    * flagship coverage output: tile_x, tile_y, pages, ...). Returns cell
+    * ids at `z` for tiles whose `countCol` exceeds `hotThreshold` — the
+    * input to [[ShuffleSaltedHot]]. The collect is bounded by the
+    * threshold; `maxHot` fails loudly (raise the threshold) before an
+    * unbounded hot list reaches driver memory or an InSet literal. */
+  def hotTilesFromStats(tileStats: DataFrame, z: Int, hotThreshold: Long,
+                        countCol: String = "pages",
+                        maxHot: Int = 65536): Seq[Long] = {
+    val hot = tileStats.where(col(countCol) > hotThreshold)
+      .select(GeoFunctions.cellFromXY(lit(z),
+        col("tile_x"), col("tile_y")).as("tile"))
+      .limit(maxHot + 1).collect().map(_.getLong(0)).toSeq
+    require(hot.length <= maxHot,
+      s"more than $maxHot tiles exceed hotThreshold=$hotThreshold at z=$z; " +
+        "raise the threshold (salting that many cells is full ShuffleSalted)")
+    hot
+  }
+
+  /** Deterministic, purely cell-valued hot test for [[ShuffleSaltedHot]]
+    * (both join sides must split identically, so this depends on nothing
+    * but the cell id): a cell at resolution >= tileZoom is hot iff its
+    * tileZoom ancestor is a hot tile; a coarser cell iff it is an ancestor
+    * of one (the ancestor set is driver-computed, <= z * |hotTiles| ids).
+    * Null cells (coarse-rejected probe rows) coalesce to cold. */
+  private def hotCellPredicate(cell: Column, m: ShuffleSaltedHot): Column = {
+    val ancestors = m.hotTiles
+      .flatMap(t => (0 until m.tileZoom).map(r => Cells.parent(t, r)))
+      .distinct.map(Long.box)
+    val hotAtZ = GeoFunctions.cellParent(cell, lit(m.tileZoom))
+      .isInCollection(m.hotTiles.map(Long.box))
+    val res = shiftright(cell, 56).bitwiseAND(lit(31L))
+    coalesce(
+      when(res >= m.tileZoom, hotAtZ)
+        .otherwise(if (ancestors.isEmpty) lit(false)
+                   else cell.isInCollection(ancestors)),
+      lit(false))
+  }
+
+  /** The shared hot/cold two-branch candidate plan of the salted-hot and
+    * adaptive modes: cold cells sort-merge join plainly, hot cells join
+    * salted (probe adds pmod(xxhash64(key), s), cover replicated s ways),
+    * branches unioned. `joinType` is "inner" for [[assign]] and "left" for
+    * [[assignRegions]] (where unmatched probes must survive). */
+  private def saltedSplitJoin(probes: DataFrame, cells: DataFrame,
+                              keyCol: String, s: Int, isHot: Column => Column,
+                              joinType: String): DataFrame = {
+    val hotP = coalesce(isHot(col("cell")), lit(false))
+    val cold = probes.where(!hotP)
+      .join(cells.where(!coalesce(isHot(col("cell")), lit(false)))
+        .hint("merge"), Seq("cell"), joinType)
+    val hotProbes = probes.where(hotP).withColumn("salt",
+      pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
+    val hotCover = cells.where(coalesce(isHot(col("cell")), lit(false)))
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+    cold.unionByName(
+      hotProbes.join(hotCover.hint("merge"), Seq("cell", "salt"), joinType)
+        .drop("salt"))
+  }
 
   final val RMin = 7
   final val RMax = 12
@@ -255,18 +330,12 @@ object SpatialJoin {
           .where($"count" > hotThreshold)
           .select($"cell").collect().map(r => Long.box(r.getLong(0)))
         if (hot.isEmpty) probes.join(cover.cells.hint("merge"), "cell")
-        else {
-          val isHot = $"cell".isInCollection(hot)
-          val cold = probes.where(!isHot)
-            .join(cover.cells.where(!isHot).hint("merge"), "cell")
-          val hotProbes = probes.where(isHot).withColumn("salt",
-            pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
-          val hotCover = cover.cells.where(isHot).withColumn("salt",
-            explode(sequence(lit(0), lit(s - 1))))
-          val hotJoined = hotProbes
-            .join(hotCover.hint("merge"), Seq("cell", "salt")).drop("salt")
-          cold.unionByName(hotJoined)
-        }
+        else saltedSplitJoin(probes, cover.cells, keyCol, s,
+          c => c.isInCollection(hot), "inner")
+      case m @ ShuffleSaltedHot(s, hotTiles, _) =>
+        if (hotTiles.isEmpty) probes.join(cover.cells.hint("merge"), "cell")
+        else saltedSplitJoin(probes, cover.cells, keyCol, s,
+          c => hotCellPredicate(c, m), "inner")
     }
 
     // refine only candidates: tiny (region,part)->rings dim broadcast;
@@ -308,8 +377,10 @@ object SpatialJoin {
     * Single-scan caveat: ShuffleSaltedAdaptive's hot-cell detection runs
     * a separate counting job over the probe side, i.e. a second scan of
     * the input — callers relying on the one-scan property (the flagship
-    * coverage job) should pass Broadcast/Shuffle/ShuffleSalted, or
-    * pre-materialize the narrow point frame. */
+    * coverage job) should pass [[ShuffleSaltedHot]] (hot set from a
+    * previous run's tile stats — zero extra scans, the crawl-cycle steady
+    * state), Broadcast/Shuffle/ShuffleSalted, or pre-materialize the
+    * narrow point frame. */
   def assignRegions(points: DataFrame, keyCol: String, cover: CoverSides,
                     mode: Mode = Auto()): DataFrame = {
     import points.sparkSession.implicits._
@@ -348,23 +419,16 @@ object SpatialJoin {
           .select($"cell").collect().map(r => Long.box(r.getLong(0)))
         if (hot.isEmpty)
           probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
-        else {
-          // null cells (coarse-rejected points) must land in exactly one
-          // branch: isInCollection(null) is NULL, so coalesce to false —
-          // they take the cold path, where a null key matches nothing
-          val isHotP = coalesce($"cell".isInCollection(hot), lit(false))
-          val cold = probes.where(!isHotP)
-            .join(cover.cells.where($"cell".isInCollection(hot) === false)
-              .hint("merge"), Seq("cell"), "left")
-          val hotProbes = probes.where(isHotP).withColumn("salt",
-            pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
-          val hotCover = cover.cells.where($"cell".isInCollection(hot))
-            .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
-          val hotJoined = hotProbes
-            .join(hotCover.hint("merge"), Seq("cell", "salt"), "left")
-            .drop("salt")
-          cold.unionByName(hotJoined)
-        }
+        // null cells (coarse-rejected points) must land in exactly one
+        // branch: saltedSplitJoin coalesces the hot test to false, so
+        // they take the cold path, where a null key matches nothing
+        else saltedSplitJoin(probes, cover.cells, keyCol, s,
+          c => c.isInCollection(hot), "left")
+      case m @ ShuffleSaltedHot(s, hotTiles, _) =>
+        if (hotTiles.isEmpty)
+          probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
+        else saltedSplitJoin(probes, cover.cells, keyCol, s,
+          c => hotCellPredicate(c, m), "left")
     }
 
     val refined = candidates

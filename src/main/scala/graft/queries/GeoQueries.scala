@@ -170,6 +170,26 @@ object GeoQueries {
         .where(col("region_id") === 7).select("k", "region_id")
     },
 
+    QueryDef.sql("q_geo_join_hot",
+      s"""WITH pts AS (${pointsSql}),
+         |${pipMatchesSql}
+         |SELECT k, region_id FROM pip_matches WHERE region_id = 7""".stripMargin) { (s, d) =>
+      // identical rows through the PRE-DECLARED hot/cold split
+      // (SpatialJoin.ShuffleSaltedHot): the hot set comes from a
+      // tile-stats relation built from the fixture points — the shape of
+      // a previous run's persisted coverage output — NOT from the
+      // adaptive mode's counting scan of the probe input
+      val stats = points(s, d)
+        .withColumn("tile",
+          GeoFunctions.cellEncode(col("lat"), col("lon"), lit(4)))
+        .groupBy(GeoFunctions.cellTileX(col("tile")).as("tile_x"),
+          GeoFunctions.cellTileY(col("tile")).as("tile_y"))
+        .agg(count("*").as("pages"))
+      val hot = SpatialJoin.hotTilesFromStats(stats, 4, hotThreshold = 10)
+      assigned(s, d, SpatialJoin.ShuffleSaltedHot(8, hot, 4))
+        .where(col("region_id") === 7).select("k", "region_id")
+    },
+
     QueryDef.sql("q_geo_tile_agg", {
       val tile7 = cellParentSql(cellEncodeSql("p.lat", "p.lon", 12), 12, 7)
       s"""WITH pts AS (${pointsSql}),

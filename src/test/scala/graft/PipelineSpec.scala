@@ -60,6 +60,78 @@ class PipelineSpec extends SparkTestBase {
     // Auto on both sides of its threshold: same rows either way
     assert(run(SpatialJoin.Auto()) == b)
     assert(run(SpatialJoin.Auto(maxBroadcastCells = 1)) == b)
+    // pre-declared hot set (from a tile-stats relation, the previous-run
+    // artifact): same rows through the hot/cold split, and through the
+    // empty-set degradation to plain shuffle
+    val tstats = tileStatsOf(pts, 4)
+    val hotT = SpatialJoin.hotTilesFromStats(tstats, 4, hotThreshold = 10)
+    assert(hotT.nonEmpty)
+    assert(run(SpatialJoin.ShuffleSaltedHot(8, hotT, 4)) == b)
+    assert(run(SpatialJoin.ShuffleSaltedHot(8, Nil, 4)) == b)
+  }
+
+  /** A previous run's per-tile coverage stats, reconstructed from the
+    * fixture points (tile_x, tile_y, pages — the persisted flagship
+    * artifact shape hotTilesFromStats consumes). */
+  private def tileStatsOf(pts: org.apache.spark.sql.DataFrame, z: Int) = {
+    import graft.functions.GeoFunctions
+    pts.withColumn("tile",
+        GeoFunctions.cellEncode(col("lat"), col("lon"), lit(z)))
+      .groupBy(GeoFunctions.cellTileX(col("tile")).as("tile_x"),
+        GeoFunctions.cellTileY(col("tile")).as("tile_y"))
+      .agg(count("*").as("pages"))
+  }
+
+  test("salted-hot plans with ZERO detection jobs; adaptive pays one") {
+    val pts = GeoFixtures.points(spark, sfDir)
+    val cover = SpatialJoin.coverDF(spark)
+    // z=4, threshold 10: a strict subset of the fixture's 192 z4 tiles
+    // is hot (32), so both the hot and the cold branch carry rows
+    val hotT = SpatialJoin.hotTilesFromStats(tileStatsOf(pts, 4), 4, 10)
+    assert(hotT.nonEmpty)
+
+    // count job submissions via a listener; the bus is FIFO, so running a
+    // flush action and waiting for its event guarantees every job
+    // submitted during plan construction has been counted
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def flush(): Unit = {
+      // a marker job; waiting for its event also drains everything queued
+      // before it (the async bus is FIFO). An RDD count is exactly ONE
+      // job — a DataFrame action under AQE can be several, which would
+      // leak trailing events past the counter reset.
+      val j0 = jobs
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs <= j0 && System.nanoTime() < deadline) Thread.sleep(20)
+    }
+    def countPlanningJobs(mode: SpatialJoin.Mode): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        flush() // drain events queued before the listener registered
+        jobs = 0
+        // construct + resolve the physical plan, NO action
+        SpatialJoin.assignRegions(pts, "k", cover, mode)
+          .queryExecution.executedPlan
+        flush()
+        jobs - 1 // minus the marker
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // the whole point of ShuffleSaltedHot: skew handling without the
+    // adaptive mode's counting scan of the probe input
+    assert(countPlanningJobs(SpatialJoin.ShuffleSaltedHot(8, hotT, 4)) == 0)
+    // positive control: the same harness sees adaptive's detection job
+    assert(countPlanningJobs(SpatialJoin.ShuffleSaltedAdaptive(8, 50)) >= 1)
+
+    // bounded driver list: a hot set larger than maxHot fails loudly
+    intercept[IllegalArgumentException] {
+      SpatialJoin.hotTilesFromStats(tileStatsOf(pts, 4), 4,
+        hotThreshold = 0, maxHot = 1)
+    }
   }
 
   test("tile pyramid: rolled-up levels equal direct aggregation at each zoom") {
@@ -416,6 +488,8 @@ class PipelineSpec extends SparkTestBase {
     assert(run(SpatialJoin.Shuffle) == base)
     assert(run(SpatialJoin.ShuffleSalted(4)) == base)
     assert(run(SpatialJoin.ShuffleSaltedAdaptive(4, 50)) == base)
+    val hotT = SpatialJoin.hotTilesFromStats(tileStatsOf(pts, 4), 4, 10)
+    assert(run(SpatialJoin.ShuffleSaltedHot(4, hotT, 4)) == base)
   }
 }
 
