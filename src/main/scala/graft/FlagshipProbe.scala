@@ -31,9 +31,25 @@ object FlagshipProbe {
     if (!new java.io.File(s"$corpus/_SUCCESS").exists())
       sources.Pages.writeCorpus(spark, nPages, corpus, numPartitions = 128)
     val pages = spark.read.parquet(corpus)
+    // SPARK_GRAFT_PROBE_MODE=salted-hot A/Bs the crawl-cycle skew mode:
+    // a first coverage pass stands in for the previous run's tile stats,
+    // then the timed reps join through the pre-declared hot/cold split
+    val mode: operators.SpatialJoin.Mode =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_MODE", "auto") match {
+        case "auto" => operators.SpatialJoin.Auto()
+        case "shuffle" => operators.SpatialJoin.Shuffle
+        case "salted-hot" =>
+          val threshold =
+            sys.env.getOrElse("SPARK_GRAFT_HOT_THRESHOLD", "5000").toLong
+          val hot = operators.SpatialJoin.hotTilesFromStats(
+            Pipeline.coverageStats(spark, pages, z = 8), 8, threshold)
+          println(s"""{"hot_tiles":${hot.length}}""")
+          operators.SpatialJoin.ShuffleSaltedHot(8, hot, 8)
+        case other => sys.error(s"unknown SPARK_GRAFT_PROBE_MODE $other")
+      }
     def once(): Double = {
       val t0 = System.nanoTime()
-      Pipeline.coverageStats(spark, pages, z = 8).count()
+      Pipeline.coverageStats(spark, pages, z = 8, joinMode = mode).count()
       (System.nanoTime() - t0) / 1e9
     }
     def scanOnce(): Double = {

@@ -96,25 +96,38 @@ object SpatialJoin {
       lit(false))
   }
 
-  /** The shared hot/cold two-branch candidate plan of the salted-hot and
-    * adaptive modes: cold cells sort-merge join plainly, hot cells join
-    * salted (probe adds pmod(xxhash64(key), s), cover replicated s ways),
-    * branches unioned. `joinType` is "inner" for [[assign]] and "left" for
-    * [[assignRegions]] (where unmatched probes must survive). */
+  /** The shared hot-cell-salted candidate plan of the salted-hot and
+    * adaptive modes, as ONE conditional-salt join — not a hot/cold
+    * two-branch union. A union would feed the probe relation to two
+    * consumers, and Spark materializes each union branch from its own
+    * scan: the 100-TB pages input would be read twice, the exact
+    * single-scan violation these modes exist to avoid (measured on the
+    * 8M corpus, FlagshipProbe min-of-3: the union form ran the flagship
+    * at 15.2 s vs 6.2 s for this form; plain Shuffle is 6.3 s — i.e.
+    * conditional salting is free on unskewed data, while the union form
+    * pays two scans plus doubled extract/geocode work).
+    *
+    * Instead every probe row gets salt = pmod(xxhash64(key), s) on hot
+    * cells, 0 on cold; the (small) cover side explodes to s salts on hot
+    * cells, the single salt 0 on cold — so the join matches each
+    * candidate exactly once either way, in one sort-merge join over one
+    * pass of the probes. `isHot` must be purely cell-valued (both sides
+    * must split identically); null cells coalesce to cold and ride
+    * through a left join unmatched. `joinType` is "inner" for [[assign]]
+    * and "left" for [[assignRegions]] (unmatched probes must survive). */
   private def saltedSplitJoin(probes: DataFrame, cells: DataFrame,
                               keyCol: String, s: Int, isHot: Column => Column,
                               joinType: String): DataFrame = {
-    val hotP = coalesce(isHot(col("cell")), lit(false))
-    val cold = probes.where(!hotP)
-      .join(cells.where(!coalesce(isHot(col("cell")), lit(false)))
-        .hint("merge"), Seq("cell"), joinType)
-    val hotProbes = probes.where(hotP).withColumn("salt",
-      pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
-    val hotCover = cells.where(coalesce(isHot(col("cell")), lit(false)))
-      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
-    cold.unionByName(
-      hotProbes.join(hotCover.hint("merge"), Seq("cell", "salt"), joinType)
-        .drop("salt"))
+    val salted = probes.withColumn("salt",
+      when(coalesce(isHot(col("cell")), lit(false)),
+        pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
+        .otherwise(lit(0)))
+    val coverRep = cells.withColumn("salt",
+      explode(sequence(lit(0),
+        when(coalesce(isHot(col("cell")), lit(false)), lit(s - 1))
+          .otherwise(lit(0)))))
+    salted.join(coverRep.hint("merge"), Seq("cell", "salt"), joinType)
+      .drop("salt")
   }
 
   final val RMin = 7

@@ -228,6 +228,9 @@ class PipelineSpec extends SparkTestBase {
     assert(run(dCover, SpatialJoin.Shuffle) == base)
     assert(run(dCover, SpatialJoin.ShuffleSalted(4)) == base)
     assert(run(dCover, SpatialJoin.ShuffleSaltedAdaptive(4, 50)) == base)
+    assert(run(dCover,
+      SpatialJoin.ShuffleSaltedHot(4,
+        SpatialJoin.hotTilesFromStats(tileStatsOf(pts, 4), 4, 10), 4)) == base)
   }
 
   test("distributed covers equal driver covers on randomized polygons") {
