@@ -128,10 +128,11 @@ object Similarity {
     * Skew: `hotSalt > 1` salts detected hot buckets (corpus bucket size >
     * `hotThreshold`, measured by a first-pass count like SpatialJoin's
     * adaptive mode) — probes of hot buckets take a salt from their qid,
-    * the corpus rows of hot buckets replicate xS, cold buckets pay
-    * nothing. Results are identical across salting configurations
-    * (asserted in KnnSpec): the candidate pair SET is unchanged,
-    * only its partitioning spreads. */
+    * the corpus rows of hot buckets replicate xS, cold buckets salt 0:
+    * ONE conditional-salt join over one pass of each relation (a
+    * hot/cold union would scan both inputs twice). Results are identical
+    * across salting configurations (asserted in KnnSpec): the candidate
+    * pair SET is unchanged, only its partitioning spreads. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, planes: Int,
               probe1: Boolean = true, hotSalt: Int = 1,
@@ -156,15 +157,19 @@ object Similarity {
           .select(col("bucket")).collect().map(r => Long.box(r.getLong(0)))
         if (hot.isEmpty) probes.join(c, Seq("bucket"))
         else {
+          // ONE conditional-salt join, not a hot/cold two-branch union:
+          // each union branch would materialize from its own scan of the
+          // query and corpus relations — the double-read SpatialJoin's
+          // saltedSplitJoin measures and avoids (same shape here)
           val isHot = col("bucket").isInCollection(hot)
-          val cold = probes.where(!isHot).join(c.where(!isHot), Seq("bucket"))
-          val hotProbes = probes.where(isHot).withColumn("salt",
-            pmod(xxhash64(col("qid")), lit(hotSalt)).cast("int"))
-          val hotCorpus = c.where(isHot).withColumn("salt",
-            explode(sequence(lit(0), lit(hotSalt - 1))))
-          cold.unionByName(
-            hotProbes.join(hotCorpus.hint("merge"), Seq("bucket", "salt"))
-              .drop("salt"))
+          val salted = probes.withColumn("salt",
+            when(isHot, pmod(xxhash64(col("qid")), lit(hotSalt)).cast("int"))
+              .otherwise(lit(0)))
+          val corpusRep = c.withColumn("salt",
+            explode(sequence(lit(0),
+              when(isHot, lit(hotSalt - 1)).otherwise(lit(0)))))
+          salted.join(corpusRep.hint("merge"), Seq("bucket", "salt"))
+            .drop("salt")
         }
       }
 
