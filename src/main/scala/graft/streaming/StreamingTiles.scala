@@ -70,13 +70,23 @@ object StreamingTiles {
     * increment run through the exact batch plan (Pipeline.coverageStats
     * over SpatialJoin.assignRegions), so stream == batch semantics hold
     * by construction; per-tile roll-up across batches is a plain
-    * downstream aggregation (counts and token sums are additive). */
+    * downstream aggregation (counts and token sums are additive).
+    *
+    * `joinMode`: the streaming deployment IS the crawl-cycle steady
+    * state [[graft.operators.SpatialJoin.ShuffleSaltedHot]] was built
+    * for — earlier snapshots in `outPath` are exactly the tile-stats
+    * relation `hotTilesFromStats` consumes, so a caller can pre-declare
+    * hot tiles from yesterday's coverage with zero extra scans of the
+    * stream. */
   def coverageSink(spark: SparkSession, pages: DataFrame, outPath: String,
-                   z: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+                   z: Int = 8,
+                   joinMode: graft.operators.SpatialJoin.Mode =
+                     graft.operators.SpatialJoin.Auto())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     pages.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Pipeline.coverageStats(spark, batch, z)
+        Pipeline.coverageStats(spark, batch, z, joinMode)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outPath)
       }

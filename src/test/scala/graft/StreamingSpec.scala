@@ -64,6 +64,25 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     assert(rolled == batch)
+    // the crawl cycle: the previous sink's snapshots ARE the tile-stats
+    // relation for pre-declared hot-cell salting — a third run salted
+    // from out1's coverage must roll up to the same totals
+    import graft.operators.SpatialJoin
+    val hotT = SpatialJoin.hotTilesFromStats(
+      spark.read.parquet(s"$base/out1"), 7, hotThreshold = 10)
+    assert(hotT.nonEmpty)
+    StreamingTiles.coverageSink(spark, many, s"$base/out3", z = 7,
+        joinMode = SpatialJoin.ShuffleSaltedHot(4, hotT, 7))
+      .option("checkpointLocation", s"$base/ckpt3").start()
+      .awaitTermination(120000)
+    val rolled3 = spark.read.parquet(s"$base/out3")
+      .groupBy("tile_x", "tile_y")
+      .agg(sum("pages").as("pages"), sum("tok_sum").as("tok_sum"),
+        sum("matched").as("matched"))
+      .select("tile_x", "tile_y", "pages", "tok_sum", "matched").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rolled3 == batch)
   }
 
   test("streaming incremental dedup == batch keepNovel against the same reference") {
