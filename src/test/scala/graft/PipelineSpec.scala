@@ -458,6 +458,22 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(pageScans.length == 1,
       s"expected exactly 1 pages scan, got ${pageScans.length}:\n$plan")
+    // and the contract survives pre-declared hot-cell salting: the
+    // conditional-salt join keeps ONE probe consumer (a hot/cold union
+    // would add a second scan leaf — the regression this pins)
+    val hotMode = SpatialJoin.ShuffleSaltedHot(4,
+      Seq(graft.core.Cells.encode(10.0, 20.0, 8)), 8)
+    val saltedPlan = Pipeline.coverageStats(spark, pages, 8, hotMode)
+      .queryExecution.optimizedPlan
+    val saltedScans = saltedPlan.collectLeaves().collect {
+      case l: LogicalRelation if (l.relation match {
+        case r: HadoopFsRelation =>
+          r.location.rootPaths.exists(_.toString.contains("graftonepass"))
+        case _ => false
+      }) => l
+    }
+    assert(saltedScans.length == 1,
+      s"expected exactly 1 pages scan under salted-hot, got ${saltedScans.length}")
   }
 
   test("assignOuter: matched subset == assign, unmatched kept with null") {
