@@ -132,11 +132,19 @@ object Similarity {
     * ONE conditional-salt join over one pass of each relation (a
     * hot/cold union would scan both inputs twice). Results are identical
     * across salting configurations (asserted in KnnSpec): the candidate
-    * pair SET is unchanged, only its partitioning spreads. */
+    * pair SET is unchanged, only its partitioning spreads.
+    *
+    * `hotBuckets` pre-declares the hot set and skips the detection count
+    * entirely — the ANN twin of SpatialJoin.ShuffleSaltedHot: bucket
+    * populations are stable across crawl cycles (they depend on the
+    * corpus distribution, not the queries), so a persisted bucket
+    * profile from the previous cycle buys skew handling with zero extra
+    * passes over the corpus. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, planes: Int,
               probe1: Boolean = true, hotSalt: Int = 1,
-              hotThreshold: Long = Long.MaxValue): DataFrame = {
+              hotThreshold: Long = Long.MaxValue,
+              hotBuckets: Seq[Long] = Nil): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"),
       quantized(col(vecCol)).as("nv"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
@@ -152,9 +160,12 @@ object Similarity {
     val candidates =
       if (hotSalt <= 1) probes.join(c, Seq("bucket"))
       else {
-        val hot = c.groupBy(col("bucket")).count()
-          .where(col("count") > hotThreshold)
-          .select(col("bucket")).collect().map(r => Long.box(r.getLong(0)))
+        val hot: Seq[java.lang.Long] =
+          if (hotBuckets.nonEmpty) hotBuckets.map(Long.box)
+          else c.groupBy(col("bucket")).count()
+            .where(col("count") > hotThreshold)
+            .select(col("bucket")).collect()
+            .map(r => Long.box(r.getLong(0))).toSeq
         if (hot.isEmpty) probes.join(c, Seq("bucket"))
         else {
           // ONE conditional-salt join, not a hot/cold two-branch union:

@@ -147,5 +147,17 @@ class KnnSpec extends SparkTestBase {
     assert(run(4, Long.MaxValue) == plain)
     // moderate threshold: a mix of hot and cold buckets
     assert(run(8, 5L) == plain)
+    // PRE-DECLARED hot buckets (the previous crawl cycle's persisted
+    // bucket profile) skip the detection count, same rows
+    val profile = emb
+      .select(Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+      .groupBy("bucket").count().where(col("count") > 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(profile.nonEmpty)
+    assert(Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, dim = 64, planes = 8, hotSalt = 8,
+        hotBuckets = profile)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet == plain)
   }
 }
