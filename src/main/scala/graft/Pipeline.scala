@@ -49,7 +49,17 @@ object Pipeline {
                     joinMode: SpatialJoin.Mode = SpatialJoin.Auto(),
                     cover: Option[SpatialJoin.CoverSides] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pts = pages.select(col("url"),
+    // carry warc_ts through the point relation: assignRegions groups per
+    // point ROW, so row identity must hold under real Common-Crawl input
+    // where the same url recurs across crawls (url alone would collapse
+    // or double-count them — input_hint's per-url contract only pins the
+    // text invariant, not row uniqueness). Rows identical in ALL of
+    // (url, warc_ts, coords, tokens) are true duplicate records and
+    // count once.
+    val tsCol =
+      if (pages.columns.contains("warc_ts")) col("warc_ts")
+      else lit(null).cast("timestamp")
+    val pts = pages.select(col("url"), tsCol.as("warc_ts"),
         TextFunctions.geoLat(col("html")).as("lat"),
         TextFunctions.geoLon(col("html")).as("lon"),
         TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))

@@ -110,9 +110,11 @@ object Publish {
     * (works on local paths, HDFS and object stores alike); page count is
     * bounded by the region dimension, page size by its feature count. */
   def writeHtml(pages: DataFrame, dir: String): Unit = {
+    // driver conf shipped with the closure — see plans.HadoopConf
+    val confProps = graft.plans.HadoopConf.capture(pages.sparkSession)
     pages.select("path", "html").foreachPartition {
       it: Iterator[org.apache.spark.sql.Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.plans.HadoopConf.restore(confProps)
         it.foreach { r =>
           val p = new org.apache.hadoop.fs.Path(dir, r.getString(0))
           val fs = p.getFileSystem(conf)

@@ -59,14 +59,22 @@ object SpatialJoin {
 
   /** Hot-tile extraction from a persisted tile-stats relation (the
     * flagship coverage output: tile_x, tile_y, pages, ...). Returns cell
-    * ids at `z` for tiles whose `countCol` exceeds `hotThreshold` — the
-    * input to [[ShuffleSaltedHot]]. The collect is bounded by the
-    * threshold; `maxHot` fails loudly (raise the threshold) before an
-    * unbounded hot list reaches driver memory or an InSet literal. */
+    * ids at `z` for tiles whose TOTAL `countCol` exceeds `hotThreshold` —
+    * the input to [[ShuffleSaltedHot]]. Counts are summed per tile first:
+    * the streaming coverage sink appends one row per tile PER MICRO-BATCH,
+    * so a per-row threshold would miss a tile that is hot cumulatively
+    * (500 pages x 100 batches) and could trip the maxHot guard on
+    * duplicate rows of a handful of genuinely hot tiles. The collect is
+    * bounded by the threshold; `maxHot` fails loudly (raise the
+    * threshold) before an unbounded hot list reaches driver memory or an
+    * InSet literal. */
   def hotTilesFromStats(tileStats: DataFrame, z: Int, hotThreshold: Long,
                         countCol: String = "pages",
                         maxHot: Int = 65536): Seq[Long] = {
-    val hot = tileStats.where(col(countCol) > hotThreshold)
+    val hot = tileStats
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(sum(col(countCol)).as("total"))
+      .where(col("total") > hotThreshold)
       .select(GeoFunctions.cellFromXY(lit(z),
         col("tile_x"), col("tile_y")).as("tile"))
       .limit(maxHot + 1).collect().map(_.getLong(0)).toSeq
@@ -295,6 +303,47 @@ object SpatialJoin {
     * sets at high rMin). */
   final val CoarsePrefilterMax = 1000000
 
+  /** The candidate equi-join of probes against the cover's cells for a
+    * resolved mode — the single dispatch both [[assign]] (inner) and
+    * [[assignRegions]] (left: unmatched probes must survive) share, so a
+    * new mode cannot be wired inconsistently between them.
+    *
+    * Shuffle pins sort-merge via the merge hint (explicit hash
+    * partitioning on the cell key, AQE skew-split can kick in on hot
+    * cells). ShuffleSalted is the hot-everywhere special case of the
+    * conditional-salt join (the constant hot test folds away). The
+    * adaptive detection filters null probe cells (present in the left
+    * flavor, harmless in the inner one). */
+  private def candidateJoin(probes: DataFrame, cover: CoverSides,
+                            keyCol: String, mode: Mode,
+                            joinType: String): DataFrame = {
+    import probes.sparkSession.implicits._
+    resolveMode(mode, cover) match {
+      case Auto(_) => throw new IllegalStateException("Auto resolved above")
+      case Broadcast =>
+        probes.join(broadcast(cover.cells), Seq("cell"), joinType)
+      case Shuffle =>
+        probes.join(cover.cells.hint("merge"), Seq("cell"), joinType)
+      case ShuffleSalted(s) =>
+        saltedSplitJoin(probes, cover.cells, keyCol, s, _ => lit(true),
+          joinType)
+      case ShuffleSaltedAdaptive(s, hotThreshold) =>
+        val hot = probes.where($"cell".isNotNull)
+          .groupBy($"cell").count()
+          .where($"count" > hotThreshold)
+          .select($"cell").collect().map(r => Long.box(r.getLong(0)))
+        if (hot.isEmpty)
+          probes.join(cover.cells.hint("merge"), Seq("cell"), joinType)
+        else saltedSplitJoin(probes, cover.cells, keyCol, s,
+          c => c.isInCollection(hot), joinType)
+      case m @ ShuffleSaltedHot(s, hotTiles, _) =>
+        if (hotTiles.isEmpty)
+          probes.join(cover.cells.hint("merge"), Seq("cell"), joinType)
+        else saltedSplitJoin(probes, cover.cells, keyCol, s,
+          c => hotCellPredicate(c, m), joinType)
+    }
+  }
+
   def assign(points: DataFrame, keyCol: String, cover: CoverSides,
              mode: Mode = Auto(),
              dedup: Boolean = true): DataFrame = {
@@ -323,33 +372,7 @@ object SpatialJoin {
       explode(array(probeRes.map(r =>
         GeoFunctions.cellParent($"cell_rmax", lit(r))): _*)))
 
-    val candidates = resolveMode(mode, cover) match {
-      case Auto(_) => throw new IllegalStateException("Auto resolved above")
-      case Broadcast =>
-        probes.join(broadcast(cover.cells), "cell")
-      case Shuffle =>
-        // explicit hash partitioning on the cell key; merge hint pins
-        // sort-merge so AQE skew-split can kick in on hot cells
-        probes.join(cover.cells.hint("merge"), "cell")
-      case ShuffleSalted(s) =>
-        val salted = probes.withColumn("salt",
-          pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
-        val coverRep = cover.cells.withColumn("salt",
-          explode(sequence(lit(0), lit(s - 1))))
-        salted.join(coverRep.hint("merge"), Seq("cell", "salt"))
-          .drop("salt")
-      case ShuffleSaltedAdaptive(s, hotThreshold) =>
-        val hot = probes.groupBy($"cell").count()
-          .where($"count" > hotThreshold)
-          .select($"cell").collect().map(r => Long.box(r.getLong(0)))
-        if (hot.isEmpty) probes.join(cover.cells.hint("merge"), "cell")
-        else saltedSplitJoin(probes, cover.cells, keyCol, s,
-          c => c.isInCollection(hot), "inner")
-      case m @ ShuffleSaltedHot(s, hotTiles, _) =>
-        if (hotTiles.isEmpty) probes.join(cover.cells.hint("merge"), "cell")
-        else saltedSplitJoin(probes, cover.cells, keyCol, s,
-          c => hotCellPredicate(c, m), "inner")
-    }
+    val candidates = candidateJoin(probes, cover, keyCol, mode, "inner")
 
     // refine only candidates: tiny (region,part)->rings dim broadcast;
     // PIP reads the packed vertex array in place (no per-row allocation)
@@ -412,37 +435,11 @@ object SpatialJoin {
           GeoFunctions.cellParent($"cell_rmax", lit(r))): _*))
         .otherwise(array(lit(null).cast("long")))))
 
-    val candidates = resolveMode(mode, cover) match {
-      case Auto(_) => throw new IllegalStateException("Auto resolved above")
-      case Broadcast =>
-        probes.join(broadcast(cover.cells), Seq("cell"), "left")
-      case Shuffle =>
-        probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
-      case ShuffleSalted(s) =>
-        val salted = probes.withColumn("salt",
-          pmod(xxhash64(col(keyCol)), lit(s)).cast("int"))
-        val coverRep = cover.cells.withColumn("salt",
-          explode(sequence(lit(0), lit(s - 1))))
-        salted.join(coverRep.hint("merge"), Seq("cell", "salt"), "left")
-          .drop("salt")
-      case ShuffleSaltedAdaptive(s, hotThreshold) =>
-        val hot = probes.where($"cell".isNotNull)
-          .groupBy($"cell").count()
-          .where($"count" > hotThreshold)
-          .select($"cell").collect().map(r => Long.box(r.getLong(0)))
-        if (hot.isEmpty)
-          probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
-        // null cells (coarse-rejected points) must land in exactly one
-        // branch: saltedSplitJoin coalesces the hot test to false, so
-        // they take the cold path, where a null key matches nothing
-        else saltedSplitJoin(probes, cover.cells, keyCol, s,
-          c => c.isInCollection(hot), "left")
-      case m @ ShuffleSaltedHot(s, hotTiles, _) =>
-        if (hotTiles.isEmpty)
-          probes.join(cover.cells.hint("merge"), Seq("cell"), "left")
-        else saltedSplitJoin(probes, cover.cells, keyCol, s,
-          c => hotCellPredicate(c, m), "left")
-    }
+    // null cells (coarse-rejected points) must land in exactly one salted
+    // branch: saltedSplitJoin coalesces the hot test to false, so they
+    // take the cold path, where a null key matches nothing and the left
+    // join keeps the row
+    val candidates = candidateJoin(probes, cover, keyCol, mode, "left")
 
     val refined = candidates
       .join(broadcast(cover.parts), Seq("region_id", "part"), "left")

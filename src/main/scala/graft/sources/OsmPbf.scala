@@ -52,6 +52,10 @@ object OsmPbf {
       var shift = 0
       var v = 0L
       while (shift < 64) {
+        // fail loudly at the reader's own bound: without this, a
+        // truncated field would silently decode bytes belonging to
+        // sibling fields of the shared buffer
+        require(pos < end, "varint overruns field boundary")
         val b = buf(pos)
         pos += 1
         v |= (b & 0x7fL) << shift
@@ -65,8 +69,12 @@ object OsmPbf {
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
     /** Length-delimited payload as a sub-reader. */
     def sub(): Wire = {
-      val n = varint().toInt
-      require(n >= 0 && pos + n <= end, s"length-delimited field overruns blob")
+      // long math before the Int narrowing: a corrupt length of 2^32
+      // would truncate to 0 and misparse silently
+      val nl = varint()
+      require(nl >= 0 && pos + nl <= end,
+        s"length-delimited field overruns blob")
+      val n = nl.toInt
       val w = new Wire(buf, pos, pos + n)
       pos += n
       w
@@ -81,9 +89,9 @@ object OsmPbf {
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(); ()
-      case 1 => pos += 8
+      case 1 => require(pos + 8 <= end, "fixed64 overruns field"); pos += 8
       case 2 => sub(); ()
-      case 5 => pos += 4
+      case 5 => require(pos + 4 <= end, "fixed32 overruns field"); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
     def packedLongs(zigzag: Boolean): Array[Long] = {
@@ -195,7 +203,11 @@ object OsmPbf {
       var off = 0
       while (off < rawSize && !inf.finished()) {
         val n = inf.inflate(out, off, rawSize - off)
-        require(n > 0 || !inf.needsInput(), "truncated zlib stream")
+        // any zero-progress state (needs more input on a fully-provided
+        // buffer, preset-dictionary header, corrupt stream) must fail
+        // loudly — a needsInput-only guard loops forever on
+        // needsDictionary
+        require(n > 0, "stalled or truncated zlib stream")
         off += n
       }
       inf.end()
@@ -358,32 +370,35 @@ object OsmPbf {
     val slices = blobSlices(spark, pathGlob)
     val parallelism = math.max(1,
       math.min(slices.length, spark.sparkContext.defaultParallelism * 2))
+    // the driver's Hadoop conf must travel with the closure: a bare
+    // executor-side `new Configuration()` drops every spark.hadoop.*
+    // setting (object-store credentials/endpoints) and the decode tasks
+    // would fail on exactly the paths the framing scan just read
+    val confProps = graft.plans.HadoopConf.capture(spark)
     spark.sparkContext.parallelize(slices, parallelism)
       .mapPartitions { it =>
-        // one FS connection per (partition, file)
-        val conf = new org.apache.hadoop.conf.Configuration()
+        // one FS connection per (partition, file); closed at task end —
+        // a close-on-exhaustion iterator would leak the streams whenever
+        // a task stops early (limit/take, kill, downstream exception)
+        val conf = graft.plans.HadoopConf.restore(confProps)
         val streams = scala.collection.mutable.Map.empty[
           String, org.apache.hadoop.fs.FSDataInputStream]
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          streams.values.foreach(s =>
+            try s.close() catch { case _: java.io.IOException => })
+        }
         def stream(p: String) = streams.getOrElseUpdate(p, {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(conf).open(hp)
         })
-        val closing = new Iterator[OsmObject] {
-          private val inner = it.flatMap { s =>
-            val in = stream(s.path)
-            in.seek(s.offset)
-            val blob = new Array[Byte](s.length)
-            in.readFully(blob)
-            decodePrimitiveBlock(decompressBlob(blob))
-          }
-          def hasNext: Boolean = {
-            val h = inner.hasNext
-            if (!h) streams.values.foreach(_.close())
-            h
-          }
-          def next(): OsmObject = inner.next()
+        it.flatMap { s =>
+          val in = stream(s.path)
+          in.seek(s.offset)
+          val blob = new Array[Byte](s.length)
+          in.readFully(blob)
+          decodePrimitiveBlock(decompressBlob(blob))
         }
-        closing
       }.toDS()
   }
 }

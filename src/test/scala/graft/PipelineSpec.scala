@@ -132,6 +132,13 @@ class PipelineSpec extends SparkTestBase {
       SpatialJoin.hotTilesFromStats(tileStatsOf(pts, 4), 4,
         hotThreshold = 0, maxHot = 1)
     }
+
+    // counts are summed per tile BEFORE thresholding: the streaming sink
+    // appends one row per tile per micro-batch, so two half snapshots
+    // must equal one full one (2n > 21 <=> n > 10 on integers)
+    val stats = tileStatsOf(pts, 4)
+    assert(SpatialJoin.hotTilesFromStats(stats.unionByName(stats), 4,
+      hotThreshold = 21).toSet == hotT.toSet)
   }
 
   test("tile pyramid: rolled-up levels equal direct aggregation at each zoom") {
@@ -474,6 +481,24 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(saltedScans.length == 1,
       s"expected exactly 1 pages scan under salted-hot, got ${saltedScans.length}")
+  }
+
+  test("coverageStats counts per crawl record, not per url") {
+    // real Common-Crawl input repeats urls across crawls; row identity is
+    // (url, warc_ts): re-crawled records each count, byte-identical
+    // duplicate records collapse once
+    val pages = Pages.synthesize(spark, 300, 4)
+    def totals(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Pipeline.coverageStats(spark, df, 8)
+        .agg(sum("pages"), sum("matched")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (pBase, mBase) = totals(pages)
+    assert(pBase > 0 && mBase > 0)
+    val recrawl = pages.withColumn("warc_ts",
+      expr("warc_ts + INTERVAL 1 DAY"))
+    assert(totals(pages.unionByName(recrawl)) == (2 * pBase, 2 * mBase))
+    assert(totals(pages.unionByName(pages)) == (pBase, mBase))
   }
 
   test("assignOuter: matched subset == assign, unmatched kept with null") {
