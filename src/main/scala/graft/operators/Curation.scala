@@ -90,4 +90,44 @@ object Curation {
       .select(col(idCol), col(langCol), col("__tok").as("n_tokens"),
         expr(s"CAST((__cum - __tok) DIV ${budget}L AS INT)").as("shard"))
   }
+
+  /** Cap over-represented keys (the C4/Dolma-style per-domain cap): keep
+    * at most `cap` rows per `keyCol` value, chosen deterministically by
+    * the md5 hash order (md5(id), id) — reproducible in SQL, identical at
+    * any parallelism, and a uniform "random" subset of each key.
+    *
+    * Scale shape — the WIDE relation is never shuffled: winner selection
+    * runs on a narrow (key, id, hash) projection (a columnar scan reads
+    * just those columns, not the 100-TB payload); per-key counts find the
+    * oversize keys; a window ranks ONLY the oversize subset of the narrow
+    * relation and keeps each key's cap-th row as its threshold — ONE row
+    * per capped key, a genuinely small relation. The wide rows then
+    * left-join that broadcast threshold table on key and filter map-side:
+    * keep when the key is uncapped or (hash, id) <= threshold
+    * lexicographically (strict total order, so exactly `cap` survive).
+    * A per-key-cap via one global window would sort the full corpus AND
+    * serialize each mega key into one task; the anti-join alternative
+    * shuffles the wide rows by id. Both are avoided. If the capped-key
+    * dimension ever outgrows broadcast (~10M+ keys over cap), drop the
+    * broadcast hint: a sort-merge threshold join costs one wide shuffle
+    * but stays exact. */
+  def capPerKey(docs: DataFrame, keyCol: String, idCol: String,
+                cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val h = md5(col(idCol).cast("string"))
+    val narrow = docs.select(col(keyCol).as("__ck"), col(idCol).as("__cid"))
+      .withColumn("__h", md5(col("__cid").cast("string")))
+    val oversize = narrow.groupBy(col("__ck")).count()
+      .where(col("count") > cap).select("__ck")
+    val w = Window.partitionBy(col("__ck")).orderBy(col("__h"), col("__cid"))
+    val thresholds = narrow.join(oversize, Seq("__ck"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === cap)
+      .select(col("__ck"), col("__h").as("__th"), col("__cid").as("__tid"))
+    docs.join(broadcast(thresholds), col(keyCol) === col("__ck"), "left")
+      .where(col("__th").isNull ||
+        h < col("__th") ||
+        (h === col("__th") && col(idCol) <= col("__tid")))
+      .drop("__ck", "__th", "__tid")
+  }
 }

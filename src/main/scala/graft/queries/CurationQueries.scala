@@ -28,6 +28,29 @@ object CurationQueries {
         "doc_id", perMille = 200)
     },
 
+    QueryDef.sql("q_cur_domain_cap",
+      // per-domain cap (C4/Dolma-style): a derived skewed key makes one
+      // mega domain plus the per-source tail, so the capped and uncapped
+      // branches both carry rows at every sf. The oracle is a DIFFERENT
+      // algorithm (one global window + QUALIFY) than the engine's
+      // threshold construction — same rows is the proof.
+      """SELECT doc_id, key, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'mega' ELSE source END AS key,
+        |    row_number() OVER (
+        |      PARTITION BY (CASE WHEN doc_id % 10 < 5 THEN 'mega' ELSE source END)
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30""".stripMargin) { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 5, lit("mega")).otherwise(col("source"))
+            .as("key"),
+          col("n_chars"))
+      Curation.capPerKey(docs, "key", "doc_id", cap = 30)
+        .select("doc_id", "key", "n_chars")
+    },
+
     QueryDef.sql("q_cur_shards",
       """WITH t AS (SELECT doc_id, lang,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n

@@ -193,4 +193,40 @@ class CurationSpec extends SparkTestBase {
     // rough proportionality (md5 uniformity; generous tolerance)
     assert(math.abs(ids.size.toDouble / n - 0.3) < 0.1)
   }
+
+  test("capPerKey: exact per-key cap, hash-uniform, parallelism-independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 5, lit("mega")).otherwise(col("source"))
+          .as("key"),
+        col("text"))
+    val counts = docs.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = 30
+    val capped = Curation.capPerKey(docs, "key", "doc_id", cap)
+    val got = capped.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every key: min(count, cap) survivors — capped keys exactly cap,
+    // small keys untouched
+    assert(counts.exists(_._2 > cap) && counts.exists(_._2 <= cap))
+    counts.foreach { case (k, n) =>
+      assert(got(k) == math.min(n, cap.toLong), s"key $k") }
+    // all original columns survive, no helper columns leak
+    assert(capped.columns.toSeq == docs.columns.toSeq)
+    // the wide relation joins the tiny threshold table BROADCAST — the
+    // whole point of the threshold construction is no wide shuffle
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    // identical survivor SET at a different parallelism (determinism)
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.capPerKey(docs.repartition(13), "key", "doc_id", cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // cap above every count: identity
+    assert(Curation.capPerKey(docs, "key", "doc_id", 1000000).count() ==
+      docs.count())
+    intercept[IllegalArgumentException](
+      Curation.capPerKey(docs, "key", "doc_id", 0))
+  }
 }
