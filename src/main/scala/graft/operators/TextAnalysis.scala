@@ -120,6 +120,43 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Cross-document exact unit dedup (Dolma's dedupe-paragraphs shape):
+    * of every REPEATED unit (paragraph / line / sentence — any literal
+    * delimiter), only the globally FIRST occurrence survives, defined as
+    * the lexicographic minimum (doc_id, pos) — deterministic at any
+    * parallelism. Unique units pass through; empty units are structure
+    * (blank lines) and always survive. Documents losing every unit stay
+    * in the output with empty text, same as [[removeBoilerplate]].
+    *
+    * Scale shape: the exploded unit relation shuffles keyed on md5(unit)
+    * (a fixed-width key — the unit text itself can be kilobytes), the
+    * first-occurrence table carries ONLY repeated units (n > 1), and
+    * reassembly is the one per-doc wide shuffle shared with the
+    * boilerplate op. The repeated-unit dimension is corpus-sized in the
+    * worst case, so its join is left to AQE rather than broadcast. */
+  def dedupUnits(docs: DataFrame, idCol: String, textCol: String,
+                 delim: String): DataFrame = {
+    val units = docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim), -1)).as(Seq("pos", "unit")))
+    val firsts = units.where(col("unit") =!= "")
+      .groupBy(md5(col("unit")).as("h"))
+      .agg(min(struct(col(idCol).as("fid"), col("pos").as("fpos")))
+        .as("first"), count("*").as("n"))
+      .where(col("n") > 1)
+      .select("h", "first")
+    val marked = units.join(firsts, md5(col("unit")) === col("h"), "left")
+      .withColumn("keep", col("first").isNull ||
+        (col(idCol) === col("first.fid") && col("pos") === col("first.fpos")))
+    marked.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          filter(array_sort(collect_list(
+            struct(col("pos"), col("unit"), col("keep")))),
+            x => x.getField("keep")),
+          x => x.getField("unit")), delim).as("clean_text"))
+  }
+
   /** Per-language top-k terms by DOCUMENT frequency (the corpus-statistics
     * op behind stopword lists and TF-IDF vocabularies). Distinct words per
     * doc first (array_distinct before explode: a word counts once per doc),

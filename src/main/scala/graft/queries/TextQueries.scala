@@ -453,6 +453,29 @@ object TextQueries {
         "doc_id", "text", delim = " ", maxDocFreq = 400L)
     },
 
+    QueryDef.sql("q_text_dedup_paras",
+      // Dolma-style cross-document unit dedup: the globally first
+      // occurrence (min doc_id, pos) of each repeated unit survives; the
+      // oracle uses a different algorithm (global window rk=1) than the
+      // engine's repeated-units-only first table — same rows is the proof
+      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |l AS (SELECT doc_id, u.pos AS pos, u.unit AS unit
+        |  FROM (SELECT doc_id,
+        |          unnest([{'pos': i, 'unit': p[i+1]} for i in range(0, len(p))]) AS u
+        |        FROM parts) _),
+        |r AS (SELECT doc_id, pos, unit,
+        |        row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rk
+        |      FROM l WHERE unit <> ''),
+        |kept AS (SELECT doc_id, pos, unit FROM r WHERE rk = 1
+        |         UNION ALL SELECT doc_id, pos, unit FROM l WHERE unit = '')
+        |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(unit ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin) { (s, d) =>
+      TextAnalysis.dedupUnits(t(s, d, "documents"), "doc_id", "text",
+        delim = " ")
+    },
+
     QueryDef.sql("q_text_fingerprint",
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint

@@ -28,6 +28,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(run(docs.repartition(7)) == got) // partitioning invariance
   }
 
+  test("dedupUnits: global first occurrence wins, empties kept, invariant") {
+    import spark.implicits._
+    // 'shared' appears in docs 1 (pos 1), 2 (pos 0) and twice in doc 3;
+    // the global first is (1, 1)? No — (1,1) vs (2,0): doc_id orders
+    // first, so doc 1 pos 1 wins. Unique units all survive; the empty
+    // unit from doc 4's double space is structural and kept everywhere.
+    val docs = Seq(
+      (1L, "alpha shared beta"),
+      (2L, "shared gamma"),
+      (3L, "shared delta shared"),
+      (4L, "epsilon  zeta"),
+      (5L, "shared")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.dedupUnits(df, "doc_id", "text", " ")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run(docs)
+    assert(got == Map(
+      1L -> "alpha shared beta", // holds the first occurrence
+      2L -> "gamma",
+      3L -> "delta",
+      5L -> "",                  // lost its only unit, row survives
+      4L -> "epsilon  zeta"))    // empty unit preserved (double space)
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("rolling hash: windows are consistent with direct recomputation") {
     val s = "the quick brown fox jumps over the lazy dog repeatedly"
     val w = 8
