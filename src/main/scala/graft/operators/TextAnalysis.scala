@@ -120,6 +120,23 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** PII redaction (the Dolma-style scrub pass): emails, IPv4 addresses
+    * and phone-shaped digit runs replaced by typed tokens, in that order
+    * (IP before phone, or the phone pattern would eat dotted quads).
+    * Pure per-row regexp_replace chain — codegen'd built-ins, no UDF, no
+    * shuffle; the patterns stay inside the RE2 AND java.util.regex common
+    * subset (char classes, bounded repeats, ASCII \b) so the DuckDB
+    * oracle runs the SAME patterns under a DIFFERENT regex engine and
+    * must produce identical output. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]")
+    regexp_replace(ip,
+      "\\+?[0-9][0-9 ()-]{7,}[0-9]", "[PHONE]")
+  }
+
   /** Cross-document exact unit dedup (Dolma's dedupe-paragraphs shape):
     * of every REPEATED unit (paragraph / line / sentence — any literal
     * delimiter), only the globally FIRST occurrence survives, defined as

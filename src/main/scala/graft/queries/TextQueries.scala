@@ -453,6 +453,37 @@ object TextQueries {
         "doc_id", "text", delim = " ", maxDocFreq = 400L)
     },
 
+    QueryDef.sql("q_text_redact",
+      // construction-based PII oracle (the B2/B3 pattern): the engine
+      // builds a text with emails/IPs/phones derived from known columns
+      // and redacts with java.util.regex; DuckDB builds the same string
+      // and runs the SAME patterns under RE2 — two regex engines must
+      // agree byte-for-byte (patterns stay in the common subset)
+      """WITH pii AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' mail user' || CAST(doc_id AS VARCHAR) ||
+        |  '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org or host 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  ' tel +1 415 ' || CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' ||
+        |  CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9 ()-]{7,}[0-9]', '[PHONE]', 'g') AS clean
+        |FROM pii""".stripMargin) { (s, d) =>
+      val pii = concat(
+        substring(col("text"), 1, 40), lit(" mail user"),
+        col("doc_id").cast("string"), lit("@ex"),
+        (col("doc_id") % 7).cast("string"), lit(".org or host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"), lit(" tel +1 415 "),
+        (col("doc_id") % 900 + 100).cast("string"), lit(" "),
+        (col("doc_id") % 9000 + 1000).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(pii).as("clean"))
+    },
+
     QueryDef.sql("q_text_dedup_paras",
       // Dolma-style cross-document unit dedup: the globally first
       // occurrence (min doc_id, pos) of each repeated unit survives; the

@@ -28,6 +28,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(run(docs.repartition(7)) == got) // partitioning invariance
   }
 
+  test("redactPii: emails, IPs and phones replaced; order prevents eating") {
+    import spark.implicits._
+    val cases = Seq(
+      ("a", "write bob.smith+x@mail.example.co today",
+            "write [EMAIL] today"),
+      ("b", "server at 192.168.0.1 responded", "server at [IP] responded"),
+      ("c", "call +1 (415) 555-0100 now", "call [PHONE] now"),
+      ("d", "ip 10.0.0.7 then dial 415 555 0100 ok",
+            "ip [IP] then dial [PHONE] ok"), // IP first, or phone eats it
+      ("e", "no pii here at all", "no pii here at all"),
+      ("f", "x@y.io and 8.8.8.8 and 00 1234567 99",
+            "[EMAIL] and [IP] and [PHONE]"))
+    val got = cases.toDF("k", "raw", "want")
+      .select(col("k"), col("want"),
+        TextAnalysis.redactPii(col("raw")).as("got"))
+      .collect()
+    got.foreach(r =>
+      assert(r.getString(2) == r.getString(1), s"case ${r.getString(0)}"))
+  }
+
   test("dedupUnits: global first occurrence wins, empties kept, invariant") {
     import spark.implicits._
     // 'shared' appears in docs 1 (pos 1), 2 (pos 0) and twice in doc 3;
