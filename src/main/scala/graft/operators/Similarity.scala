@@ -19,13 +19,32 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** floor(x*1000) per component, as ARRAY<BIGINT>. */
+  /** floor(x*1000) per component, as ARRAY<BIGINT>.
+    *
+    * Round 6: a codegen expression (functions/VectorExpressions) replaces
+    * the `transform` HOF — HOF lambdas evaluate interpreted, one boxed
+    * lambda frame per component (guide §4; the K2 re-plan precedent).
+    * Bit-identical output (VectorSpec asserts vs the HOF form). */
   def quantized(vec: Column): Column =
+    graft.functions.VectorFunctions.quantizeVec(vec)
+
+  /** The r1-r5 HOF form of [[quantized]] — kept as the parity reference
+    * for VectorSpec, never on a query path. */
+  private[graft] def quantizedHof(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Integer dot product of two quantized vectors (zip_with + aggregate —
-    * codegen'd built-ins, no UDF). */
+  /** Integer dot product of two quantized vectors.
+    *
+    * Round 6: codegen expression (flat loop over UnsafeArrayData) replaces
+    * `aggregate(zip_with(...))` — the interpreted per-element lambda pair
+    * dominated every q_sim_* plan (this evaluates once per CANDIDATE PAIR
+    * x component, the hottest multiply in the ANN family). Null contract
+    * preserved exactly: length mismatch or any null component -> null. */
   def qdot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.qdotLong(a, b)
+
+  /** The r1-r5 HOF form of [[qdot]] — parity reference for VectorSpec. */
+  private[graft] def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Double cosine similarity (reporting only — not oracle-checked). */
@@ -59,9 +78,20 @@ object Similarity {
 
   /** Deterministic pseudo-hyperplane sign: component i of plane j is
     * +1 when (i*31 + j*17) % 7 < 3 else -1 (fixed, seedless, and trivially
-    * reproducible in SQL). Bucket id packs `planes` sign bits. */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val qv = quantized(vec)
+    * reproducible in SQL). Bucket id packs `planes` sign bits.
+    *
+    * Round 6: one codegen expression computes all `planes` sign sums in a
+    * single pass over the vector, replacing `planes` separate interpreted
+    * `aggregate(zip_with(...))` trees that each re-quantized the vector
+    * (no common-subexpression elimination in interpreted eval). Identical
+    * output including the degenerate cases (null vector / length != dim /
+    * null component -> bucket 0) — asserted in VectorSpec. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    graft.functions.VectorFunctions.lshBucket(vec, dim, planes)
+
+  /** The r1-r5 HOF form of [[lshBucket]] — parity reference for VectorSpec. */
+  private[graft] def lshBucketHof(vec: Column, dim: Int, planes: Int): Column = {
+    val qv = quantizedHof(vec)
     (0 until planes).map { j =>
       val signedSum = aggregate(
         zip_with(qv, lshPlane(dim, j),
