@@ -1,67 +1,92 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Dev tool: time the flagship (Pipeline.coverageStats) in isolation —
-  * min of N reps after one warm-up, plus the scan-only control — without
-  * paying for the full Bench query loop or ScalingBench's three
-  * parallelism levels. Used to A/B plan changes on the measured path.
+import graft.functions.{GeoFunctions, TextFunctions}
+
+/** Round-6 flagship decomposition probe (guide §1): times the coverage
+  * pipeline and its per-stage prefixes over the bench corpus so the
+  * engine cost is attributable stage by stage. Reuses (or synthesizes)
+  * the same corpus as graft.Bench; every stage is timed with the noop
+  * sink except the stated aggregations, min of `reps`.
   *
-  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_PROBE_REPS=3 \
-  *     sbt -batch "runMain graft.FlagshipProbe"
+  * Usage: runMain graft.FlagshipProbe [reps] [stage...]
+  * Stages: scan extract geocode encode assign flagship (default: all).
   */
 object FlagshipProbe {
   def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val stages = if (args.length > 1) args.drop(1).toSet
+                 else Set("scan", "extract", "geocode", "encode", "assign", "flagship")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
     val corpus = s"target/bench_pages_$nPages"
     if (!new java.io.File(s"$corpus/_SUCCESS").exists())
       sources.Pages.writeCorpus(spark, nPages, corpus, numPartitions = 128)
     val pages = spark.read.parquet(corpus)
-    // SPARK_GRAFT_PROBE_MODE=salted-hot A/Bs the crawl-cycle skew mode:
-    // a first coverage pass stands in for the previous run's tile stats,
-    // then the timed reps join through the pre-declared hot/cold split
-    val mode: operators.SpatialJoin.Mode =
-      sys.env.getOrElse("SPARK_GRAFT_PROBE_MODE", "auto") match {
-        case "auto" => operators.SpatialJoin.Auto()
-        case "shuffle" => operators.SpatialJoin.Shuffle
-        case "salted-hot" =>
-          val threshold =
-            sys.env.getOrElse("SPARK_GRAFT_HOT_THRESHOLD", "5000").toLong
-          val hot = operators.SpatialJoin.hotTilesFromStats(
-            Pipeline.coverageStats(spark, pages, z = 8), 8, threshold)
-          println(s"""{"hot_tiles":${hot.length}}""")
-          operators.SpatialJoin.ShuffleSaltedHot(8, hot, 8)
-        case other => sys.error(s"unknown SPARK_GRAFT_PROBE_MODE $other")
+
+    def timed(name: String)(act: => Unit): Unit = {
+      act // warm-up
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
       }
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      Pipeline.coverageStats(spark, pages, z = 8, joinMode = mode).count()
-      (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $name%-10s min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-    def scanOnce(): Double = {
-      val t0 = System.nanoTime()
-      pages.selectExpr("sum(length(html))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warm-up
-    val times = Seq.fill(reps)(once())
-    val scan = Seq.fill(2)(scanOnce()).min
-    val best = times.min
-    println(s"""{"flagship_sec":$best,"all_reps":[${times.mkString(",")}],"pages_per_sec":${nPages / best},"scan_sec":$scan,"flagship_over_scan":${scan / best}}""")
+
+    if (stages("scan"))
+      timed("scan") { pages.selectExpr("sum(length(html))").collect(); () }
+    if (stages("extract"))
+      timed("extract") {
+        pages.select(
+          TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))
+            .as("tokens"))
+          .selectExpr("sum(tokens)").collect(); ()
+      }
+    if (stages("geocode"))
+      timed("geocode") {
+        pages.select(TextFunctions.geoLat(col("html")).as("lat"),
+            TextFunctions.geoLon(col("html")).as("lon"))
+          .selectExpr("sum(lat)", "sum(lon)").collect(); ()
+      }
+    if (stages("encode"))
+      timed("encode") { // geocode + tokens + cell encode, pre-join shape
+        val pts = pages.select(col("url"),
+            TextFunctions.geoLat(col("html")).as("lat"),
+            TextFunctions.geoLon(col("html")).as("lon"),
+            TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))
+              .as("tokens"))
+          .where(col("lat").isNotNull && col("lon").isNotNull)
+          .withColumn("tile", GeoFunctions.cellEncode(col("lat"), col("lon"), lit(8)))
+        // tile & 0xFFFFF keeps the sum far from long overflow (ANSI mode)
+        pts.selectExpr("sum(tile & 1048575)", "sum(tokens)").collect(); ()
+      }
+    if (stages("assign"))
+      timed("assign") { // full pipeline minus the final per-tile agg
+        val tsCol = lit(null).cast("timestamp")
+        val pts = pages.select(col("url"), tsCol.as("warc_ts"),
+            TextFunctions.geoLat(col("html")).as("lat"),
+            TextFunctions.geoLon(col("html")).as("lon"),
+            TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))
+              .as("tokens"))
+          .where(col("lat").isNotNull && col("lon").isNotNull)
+          .withColumn("tile", GeoFunctions.cellEncode(col("lat"), col("lon"), lit(8)))
+        operators.SpatialJoin.assignRegions(pts, "url",
+            operators.SpatialJoin.coverDF(spark))
+          .selectExpr("count(*)").collect(); ()
+      }
+    if (stages("flagship"))
+      timed("flagship") { Pipeline.coverageStats(spark, pages, z = 8).count(); () }
     spark.stop()
   }
 }

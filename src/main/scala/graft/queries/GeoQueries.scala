@@ -34,7 +34,9 @@ object GeoQueries {
 
   private def featureIndex(s: SparkSession, d: String): DataFrame = {
     if (idxCache.size() >= 4 && !idxCache.containsKey((s, d))) clearIndexMemo()
-    idxCache.computeIfAbsent((s, d), _ => Knn.buildIndex(features(s, d), "fid"))
+    // round-6: the index consumes only (fid, lat, lon) — build it from the
+    // narrow distinct (identical relation, see GeoFixtures.featureGeo)
+    idxCache.computeIfAbsent((s, d), _ => Knn.buildIndex(featureGeo(s, d), "fid"))
   }
 
   private def points12(s: SparkSession, d: String): DataFrame =
@@ -308,7 +310,10 @@ object GeoQueries {
       // nearest mapped features — kNN composed with the feature dimension
       val untagged = points(s, d).where(col("k") % 50 === 0 &&
         TextFunctions.tagParse(col("wiki_raw")).isNull)
-      val feats = features(s, d)
+      // round-6: the suggestion dimension is (fid, tag_key) — the narrow
+      // distinct replaces the corpus-wide 5-column distinct (guide §2.3;
+      // identical relation, GeoFixtures.featureTagDim)
+      val feats = featureTagDim(s, d)
       Knn.nearestIndexed(untagged, "k", featureIndex(s, d), "fid", k = 3)
         .join(feats.select(col("fid"), col("tag_key").as("suggested")), "fid")
         .select(col("k"), col("rank"), col("fid"), col("suggested"))
@@ -328,7 +333,10 @@ object GeoQueries {
       val keyed = points(s, d)
         .withColumn("tag_key", TextFunctions.tagParse(col("wiki_raw")))
         .where(col("tag_key").isNotNull)
-      keyed.join(features(s, d).select("tag_key").distinct(), Seq("tag_key"))
+      // round-6: distinct over the narrow tag_key projection directly —
+      // the previous form shuffled the corpus-wide 5-column distinct
+      // first, then reduced it to ~1.5k keys (guide §2.3)
+      keyed.join(featureTagKeys(s, d), Seq("tag_key"))
         .select("k", "tag_key").distinct()
     },
 
@@ -348,7 +356,10 @@ object GeoQueries {
       val keyed = points(s, d)
         .withColumn("tag_key", TextFunctions.tagParse(col("wiki_raw")))
         .where(col("tag_key").isNotNull)
-      keyed.join(features(s, d), Seq("tag_key"), "left_anti")
+      // round-6: an anti join consumes only the right side's key SET — the
+      // vocabulary-sized distinct tag_key dim replaces the corpus-wide
+      // wide-row distinct, turning the anti join broadcastable (guide §3.1)
+      keyed.join(featureTagKeys(s, d), Seq("tag_key"), "left_anti")
         .groupBy("lang").agg(count("*").as("n_untagged"))
     },
 

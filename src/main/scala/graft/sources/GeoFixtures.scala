@@ -52,24 +52,49 @@ object GeoFixtures {
       // single-line: these fragments are interpolated into outer templates
       // that call .stripMargin — a line starting with '|' would be mangled
 
+  // the feature columns as expressions over lineitem — one definition
+  // shared by the wide fixture and its narrow projections below
+  private def featFid = (col("l_orderkey") * 10 + col("l_linenumber")).as("fid")
+  private def featLat =
+    (lit(-60) + ((col("l_orderkey") * 31 + col("l_linenumber") * 7) * 7919 % 12000) / 100.0).as("lat")
+  private def featLon =
+    (lit(-180) + ((col("l_orderkey") * 37 + col("l_linenumber") * 11) * 104729 % 36000) / 100.0).as("lon")
+  private def featType =
+    element_at(array(lit("node"), lit("way"), lit("relation")),
+      (col("l_linenumber") % 3 + 1).cast("int")).as("feature_type")
+  private def featTagKey = concat(
+    element_at(array(lit("it"), lit("en"), lit("de"), lit("fr"), lit("es")),
+      ((col("l_orderkey") * 10 + col("l_linenumber")) % 5 + 1).cast("int")),
+    lit(":Page "), (col("l_orderkey") * 10 + col("l_linenumber")) % 301).as("tag_key")
+
   /** OSM-like features derived from lineitem. All output columns are pure
     * functions of (l_orderkey, l_linenumber), and the testdata repeats such
     * pairs, so DISTINCT makes fid a key (mirrored in featuresSql). */
-  def features(spark: SparkSession, sfDir: String): DataFrame = {
-    val l = table(spark, sfDir, "lineitem")
-    val fid = (col("l_orderkey") * 10 + col("l_linenumber")).as("fid")
-    l.select(
-      fid,
-      (lit(-60) + ((col("l_orderkey") * 31 + col("l_linenumber") * 7) * 7919 % 12000) / 100.0).as("lat"),
-      (lit(-180) + ((col("l_orderkey") * 37 + col("l_linenumber") * 11) * 104729 % 36000) / 100.0).as("lon"),
-      element_at(array(lit("node"), lit("way"), lit("relation")),
-        (col("l_linenumber") % 3 + 1).cast("int")).as("feature_type"),
-      concat(
-        element_at(array(lit("it"), lit("en"), lit("de"), lit("fr"), lit("es")),
-          ((col("l_orderkey") * 10 + col("l_linenumber")) % 5 + 1).cast("int")),
-        lit(":Page "), (col("l_orderkey") * 10 + col("l_linenumber")) % 301).as("tag_key"))
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .select(featFid, featLat, featLon, featType, featTagKey)
       .distinct()
-  }
+
+  /** Narrow projections of [[features]] for consumers that join on a
+    * column subset (round-6, guide §2.3 "shuffle fewer bytes"): every
+    * feature column is a pure function of (l_orderkey, l_linenumber), so
+    * DISTINCT over a narrow projection equals projecting the wide
+    * DISTINCT — identical result relation — while the distinct's shuffle
+    * carries only the consumed columns instead of every feature column
+    * (the wide distinct is corpus-sized: fid is a key, so it never
+    * collapses rows; the tag-key dimension is vocabulary-sized). The
+    * oracles keep the wide-DISTINCT formulation — same rows is the proof. */
+  def featureTagKeys(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(featTagKey).distinct()
+
+  /** (fid, tag_key) — the suggestion dimension; one row per fid (tag_key
+    * is a function of fid). */
+  def featureTagDim(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(featFid, featTagKey).distinct()
+
+  /** (fid, lat, lon) — the kNN index side; one row per fid. */
+  def featureGeo(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(featFid, featLat, featLon).distinct()
 
   /** CTE body matching features(): SELECT ... FROM lineitem. */
   val featuresSql: String =
