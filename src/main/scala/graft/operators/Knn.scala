@@ -135,8 +135,12 @@ object Knn {
       // first round only; DISTINCT keys, the unit doneKeys.count decrements
       if (pending < 0L) pending = unresolved.select($"__k").distinct().count()
       pending -= doneKeys.count() // cheap: count over a checkpointed frame
-      unresolved = unresolved.join(doneKeys, Seq("__k"), "left_anti")
-        .localCheckpoint(true)
+      // round-6: only derive (and materialize) the next round's unresolved
+      // frame when a next round will actually run — the final round's
+      // left-anti + checkpoint job produced a frame nobody consumed
+      if (pending != 0L && round < maxRounds - 1)
+        unresolved = unresolved.join(doneKeys, Seq("__k"), "left_anti")
+          .localCheckpoint(true)
       n = n * 2
       round += 1
     }

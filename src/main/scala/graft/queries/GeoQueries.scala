@@ -447,8 +447,6 @@ object GeoQueries {
           (col("n_nationkey") + 100).cast("long").as("cat_id"),
           col("n_name").as("name"),
           col("n_regionkey").cast("long").as("parent_id")))
-      val pagecat = points(s, d).select(col("k"),
-        (lit(100) + col("k") % 25).as("cat_id"))
       // parent edge: the SAME relation joined twice (child row -> its
       // parent row), disambiguated by projection — a tiny dim, both hops
       // broadcast
@@ -456,8 +454,19 @@ object GeoQueries {
         col("name").as("category"), col("parent_id"))
       val parent = category.select(col("cat_id").as("p_id"),
         col("name").as("theme"))
-      assigned(s, d).select("k")
-        .join(pagecat, "k")
+      // round-6 (guide §8 "attach, don't re-join"): pagecat assigns one
+      // cat_id per page key, so the assignment rides THROUGH the spatial
+      // join as a carried column instead of re-joining the corpus-sized
+      // pagecat relation to the matches afterwards — 8 bytes per point in
+      // the existing plan vs a second scan + corpus-sized join (which at
+      // 100 TB could not be broadcast). Identical rows: k is unique in
+      // pagecat, so join-on-k == attach-by-k. Oracle unchanged (it keeps
+      // the explicit pagecat JOIN — same rows is the proof).
+      val ptsWithCat = points(s, d).withColumn("cat_id",
+        lit(100) + col("k") % 25)
+      SpatialJoin.assign(ptsWithCat, "k", SpatialJoin.coverDF(s),
+          SpatialJoin.Broadcast)
+        .select("k", "cat_id")
         .join(broadcast(child), col("cat_id") === col("c_id"))
         .join(broadcast(parent), col("parent_id") === col("p_id"))
         .rollup(col("theme"), col("category"))
