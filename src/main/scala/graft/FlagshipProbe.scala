@@ -17,7 +17,7 @@ object FlagshipProbe {
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 3
     val stages = if (args.length > 1) args.drop(1).toSet
-                 else Set("scan", "extract", "geocode", "encode", "assign", "flagship")
+                 else Set("scan", "extract", "geocode", "encode", "assign", "extractf", "flagship", "flagnoop")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,8 +85,25 @@ object FlagshipProbe {
             operators.SpatialJoin.coverDF(spark))
           .selectExpr("count(*)").collect(); ()
       }
+    if (stages("extractf"))
+      timed("extractf") { // extract restricted to geocoded rows (the
+        // flagship's actual extraction volume: the lat/lon filter pushes
+        // below the projection, so tokens is computed post-filter)
+        pages.select(TextFunctions.geoLat(col("html")).as("lat"),
+            TextFunctions.geoLon(col("html")).as("lon"),
+            TextFunctions.tokenCountWs(TextFunctions.extractText(col("html")))
+              .as("tokens"))
+          .where(col("lat").isNotNull && col("lon").isNotNull)
+          .selectExpr("sum(tokens)", "sum(lat)").collect(); ()
+      }
     if (stages("flagship"))
       timed("flagship") { Pipeline.coverageStats(spark, pages, z = 8).count(); () }
+    if (stages("flagnoop"))
+      timed("flagnoop") { // noop sink: computes EVERY output column — no
+        // count()-side pruning of the final aggregates (guide §1.4)
+        Pipeline.coverageStats(spark, pages, z = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
     spark.stop()
   }
 }

@@ -230,9 +230,22 @@ object TextExtract {
     -1
   }
 
+  // round-6: the strip-pass scratch buffer is thread-local (grown on
+  // demand), not a fresh 1-4 KB allocation per row — extractTokenCount is
+  // the per-row invariant of a 10^12-row corpus, and this pass is its only
+  // remaining allocation. Safe: countTokensAscii never nests or escapes
+  // the buffer.
+  private val tlStripBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   private def countTokensAscii(s: Array[Byte]): Int = {
     // pass 1: strip tags + script/style blocks into a byte buffer
-    val buf = new Array[Byte](s.length)
+    var buf = tlStripBuf.get()
+    if (buf.length < s.length) {
+      buf = new Array[Byte](Integer.highestOneBit(s.length) * 2)
+      tlStripBuf.set(buf)
+    }
     var blen = 0
     var i = 0
     while (i < s.length) {

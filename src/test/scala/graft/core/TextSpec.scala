@@ -99,6 +99,63 @@ class TextSpec extends AnyFunSuite with PropHelpers {
     assert(TagKey.parse("nope") == None)
   }
 
+  test("Horspool caseless searcher == naive byte scan (round-6 fuzz)") {
+    import org.scalacheck.Gen
+    def naive(hay: Array[Byte], needle: String, from: Int): Int = {
+      val n = needle.length
+      var i = math.max(0, from)
+      while (i <= hay.length - n) {
+        var j = 0
+        while (j < n && {
+          val c = (hay(i + j) & 0xff).toChar
+          (if (c >= 'A' && c <= 'Z') (c + 32).toChar else c) == needle.charAt(j)
+        }) j += 1
+        if (j == n) return i
+        i += 1
+      }
+      -1
+    }
+    val needles = Seq("geo.position", "icbm")
+    val frag = Gen.oneOf(
+      Gen.stringOfN(5, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('<', '>', '.', ' ', 'G', 'I'))),
+      Gen.oneOf("geo.position", "GEO.POSITION", "Geo.Positio", "icbm", "ICBM",
+        "icb", "ition", "geo.", "<meta ", "eo.positio"))
+    val hayGen = Gen.listOfN(12, frag).map(_.mkString)
+    forAll(hayGen, Gen.chooseNum(0, 40)) { (s, from) =>
+      val hay = s.getBytes(StandardCharsets.UTF_8)
+      needles.foreach { nd =>
+        val searcher = new Geocode.CaselessSearcher(nd)
+        // every restart offset, not just 0 — scanMarker resumes mid-page
+        assert(searcher.indexOf(hay, from) == naive(hay, nd, from),
+          s"needle=$nd from=$from hay=$s")
+      }
+    }
+  }
+
+  test("fromHtml == fromString on marker-bearing fuzz pages") {
+    import org.scalacheck.Gen
+    val markerGen = Gen.oneOf(
+      """<meta name="geo.position" content="45.4;9.19">""",
+      """<META NAME='GEO.POSITION' CONTENT='-1.5;-0.25'>""",
+      """<meta name="ICBM" content="50.1, 8.68">""",
+      // NOTE: an out-of-range-but-syntactic geo.position (content="999;0")
+      // is deliberately absent: fromString (the test-only reference) stops
+      // at the first syntactic geo match and returns None, while fromHtml
+      // keeps scanning and can fall back to a later ICBM — a pre-existing
+      // semantic split outside the shared contract (no query path builds
+      // such pages; Pages/GeoFixtures markers are always in range)
+      """<meta name="geo.position" content="bogus">""", // unparsable syntax
+      "geo.position icbm", // bare marker text, no tag
+      "")
+    val fillGen = Gen.stringOfN(30,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('<', '>', ' ', '"', ';', ',')))
+    forAll(Gen.listOfN(4, Gen.zip(fillGen, markerGen))) { parts =>
+      val page = parts.map { case (f, m) => f + m }.mkString
+      assert(Geocode.fromHtml(page.getBytes(StandardCharsets.UTF_8))
+        == Geocode.fromString(page), s"page=$page")
+    }
+  }
+
   test("geocode meta tags") {
     assert(Geocode.fromString("""<meta name="geo.position" content="45.4;9.19">""")
       == Some((45.4, 9.19)))
