@@ -118,13 +118,19 @@ object Curation {
     val narrow = docs.select(col(keyCol).as("__ck"), col(idCol).as("__cid"))
       .withColumn("__h", md5(col("__cid").cast("string")))
     val oversize = narrow.groupBy(col("__ck")).count()
-      .where(col("count") > cap).select("__ck")
+      .where(col("count") > cap).select(col("__ck").as("__ok"))
     val w = Window.partitionBy(col("__ck")).orderBy(col("__h"), col("__cid"))
-    val thresholds = narrow.join(oversize, Seq("__ck"))
+    // null-safe here too (round-6): an oversize NULL-key group must reach
+    // the threshold table, or its rows escape the final filter
+    val thresholds = narrow.join(oversize, col("__ck") <=> col("__ok"))
+      .drop("__ok")
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") === cap)
       .select(col("__ck"), col("__h").as("__th"), col("__cid").as("__tid"))
-    docs.join(broadcast(thresholds), col(keyCol) === col("__ck"), "left")
+    // null-safe equality (round-6, r5 advice): a null-key group larger
+    // than the cap was counted by the oversize/window stages but escaped
+    // the cap entirely because === never matches null — <=> closes it
+    docs.join(broadcast(thresholds), col(keyCol) <=> col("__ck"), "left")
       .where(col("__th").isNull ||
         h < col("__th") ||
         (h === col("__th") && col(idCol) <= col("__tid")))

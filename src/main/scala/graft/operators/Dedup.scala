@@ -40,6 +40,12 @@ object Dedup {
 
   /** MinHash signatures: doc_id + numHashes signature columns mh0..mhN.
     *
+    * PRECONDITION (r5 advice): `idCol` must be unique — the build ends in
+    * groupBy(idCol), which collapses duplicate ids into ONE signature row,
+    * whereas the per-row reference form ([[minhash]] over [[shingles]])
+    * emits one row per input row; the bit-identical claim below holds only
+    * for unique ids (every registry caller passes a key column).
+    *
     * Plan shape: EXPLODE shingle positions, then one hash-aggregation with
     * numHashes `min(md5(seed|shingle))` aggregates — NOT the per-row
     * higher-order-function form (`transform` + `array_min`). Spark HOF

@@ -52,6 +52,21 @@ object Knn {
       .localCheckpoint(true)
   }
 
+  /** Auto's index row count, memoized per index FRAME identity (round-6):
+    * the index is built once and served to many query batches (buildIndex
+    * materializes it), but every nearestIndexed(Auto) call re-ran the
+    * count job. A checkpointed frame's content is fixed, so counting it
+    * once per identity is exact; weak keys let dropped indexes unpin. */
+  private val idxCountMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+
+  private def indexRowCount(fIdx: DataFrame): Long =
+    Option(idxCountMemo.get(fIdx)).map(_.longValue()).getOrElse {
+      val c = fIdx.count()
+      idxCountMemo.put(fIdx, c)
+      c
+    }
+
   def nearest(points: DataFrame, keyCol: String,
               features: DataFrame, fidCol: String,
               k: Int, indexRes: Int = 7, maxRounds: Int = 12,
@@ -81,7 +96,7 @@ object Knn {
     val broadcastIndex = mode match {
       case Broadcast => true
       case Shuffle => false
-      case Auto(maxRows) => fIdx.count() <= maxRows
+      case Auto(maxRows) => indexRowCount(fIdx) <= maxRows
     }
 
     val pts = points

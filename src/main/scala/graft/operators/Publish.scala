@@ -59,11 +59,16 @@ object Publish {
       lit("<tr><td>"), col("feature_id"),
       lit("</td><td>"), col("feature_type"),
       lit("</td><td>"),
-      when(col("error_class") === "ok",
+      // round-6 (r5 advice): an 'ok' row with a NULL tag_key must not
+      // null-propagate through wikiHref and silently vanish from the
+      // table while the 'tagged' count still includes it — such rows now
+      // render through the error branch with a synthetic class
+      when(col("error_class") === "ok" && col("tag_key").isNotNull,
         concat(lit("<a href=\""), wikiHref, lit("\">"),
           escapeHtml(col("tag_key")), lit("</a>")))
         .otherwise(concat(lit("<span class=\"err\">"),
-          escapeHtml(col("error_class")), lit("</span>"))),
+          escapeHtml(when(col("error_class") === "ok", lit("missing_tag_key"))
+            .otherwise(col("error_class"))), lit("</span>"))),
       lit("</td><td><a href=\""), osmHref, lit("\">osm</a> "),
       lit("<a href=\""), josmHref, lit("\">josm</a></td></tr>"))
     val page = features

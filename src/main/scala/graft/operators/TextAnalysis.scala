@@ -153,8 +153,12 @@ object TextAnalysis {
     * worst case, so its join is left to AQE rather than broadcast. */
   def dedupUnits(docs: DataFrame, idCol: String, textCol: String,
                  delim: String): DataFrame = {
+    // round-6 (r5 advice): coalesce null text to '' so null-text documents
+    // keep their one empty unit and stay in the output (posexplode of a
+    // null split array emits zero rows, which silently dropped the doc —
+    // diverging from the oracle's LEFT JOIN back to documents)
     val units = docs.select(col(idCol),
-        posexplode(split(col(textCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(delim), -1)).as(Seq("pos", "unit")))
     val firsts = units.where(col("unit") =!= "")
       .groupBy(md5(col("unit")).as("h"))
