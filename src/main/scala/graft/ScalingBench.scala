@@ -111,13 +111,19 @@ object ScalingBench {
     val md =
       s"""# BENCH — flagship throughput + scaling efficiency
          |
-         |Job (the full engine pipeline, one action): parquet scan of an
-         |input_hint-shaped pages table -> HTML->text extraction + token
-         |count (the per-row invariant work) -> geocode from html meta ->
-         |cell encode r7..12 -> compact-cover candidate join -> exact
-         |ray-cast PIP refine -> per-tile (z=8) pages/tokens/matched
-         |aggregation. Corpus: $nPages pages, 1-4 KB html each, 128 files,
-         |synthesized deterministically (`graft.sources.Pages`).
+         |Job: `Pipeline.coverageStats(...).count()` over a parquet pages
+         |corpus — the exact action the driver bench times. Round-6
+         |finding (OPTIMIZATION_r06.md §4): under `count()` Catalyst
+         |prunes the unused final aggregates, which eliminates the
+         |duplicate-insensitive left joins, the probe explode, and the
+         |token extraction — the measured plan is scan -> geocode ->
+         |cell encode -> distinct-tile aggregation. All rounds' count-based
+         |flagship figures (this file and the driver's) measure that plan;
+         |the FULL pipeline (extraction + PIP refine + collect_set, noop
+         |sink per guide §1.4) is timed separately by
+         |`graft.FlagshipProbe flagnoop` and reported alongside. Corpus:
+         |$nPages pages, 1-4 KB html each, 128 files, synthesized
+         |deterministically (`graft.sources.Pages`).
          |
          |Methodology: interleaved rounds across levels, MIN of $rounds
          |timed reps per level after a discarded warm-up round (this VM is
