@@ -15,8 +15,13 @@ import graft.functions.{GeoFunctions, TextFunctions}
   */
 object FlagshipProbe {
   def main(args: Array[String]): Unit = {
-    val reps = if (args.nonEmpty) args(0).toInt else 3
-    val stages = if (args.length > 1) args.drop(1).toSet
+    // first arg is reps when numeric; a bare stage list works too
+    // (e.g. `runMain graft.FlagshipProbe flagnoop`)
+    val (reps, stageArgs) = args.headOption.flatMap(_.toIntOption) match {
+      case Some(r) => (r, args.drop(1))
+      case None => (3, args)
+    }
+    val stages = if (stageArgs.nonEmpty) stageArgs.toSet
                  else Set("scan", "extract", "geocode", "encode", "assign", "extractf", "flagship", "flagnoop")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

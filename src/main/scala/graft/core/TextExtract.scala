@@ -243,7 +243,10 @@ object TextExtract {
     // pass 1: strip tags + script/style blocks into a byte buffer
     var buf = tlStripBuf.get()
     if (buf.length < s.length) {
-      buf = new Array[Byte](Integer.highestOneBit(s.length) * 2)
+      // next power of two, overflow-safe: for inputs >= 2^30 bytes the
+      // doubled size would wrap Int, so fall back to the exact length
+      val doubled = Integer.highestOneBit(s.length) * 2
+      buf = new Array[Byte](if (doubled < s.length) s.length else doubled)
       tlStripBuf.set(buf)
     }
     var blen = 0

@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
  *    null elements stay null, null array -> null;
  *  - qdot_long(a, b)     == aggregate(zip_with(a, b, (x,y) => x*y), 0L, +):
  *    null when the lengths differ (zip_with pads with null, and a null
- *    poisons the running sum) or when any element is null, else the sum
- *    (long arithmetic; inputs are quantized embedding components, far
- *    below overflow);
+ *    poisons the running sum) or when any element is null, else the sum.
+ *    Known divergence OUTSIDE the embedding range: on long overflow
+ *    (|component| >= ~3e9 quantized, i.e. raw values >= ~3e6) this wraps
+ *    where the HOF form under ANSI mode (Spark 4 default) threw — callers
+ *    feeding un-normalized vectors should range-check first;
  *  - lsh_bucket(v)       == the plane-sign bucket of the HOF form,
  *    including its degenerate cases: a null vector, a length != dim, or
  *    any null component make every plane sum null, which the original

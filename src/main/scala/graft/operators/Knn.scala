@@ -56,7 +56,11 @@ object Knn {
     * the index is built once and served to many query batches (buildIndex
     * materializes it), but every nearestIndexed(Auto) call re-ran the
     * count job. A checkpointed frame's content is fixed, so counting it
-    * once per identity is exact; weak keys let dropped indexes unpin. */
+    * once per identity is exact; weak keys let dropped indexes unpin.
+    * PRECONDITION: callers handing nearestIndexed a NON-checkpointed frame
+    * whose underlying source can grow between calls must pass an explicit
+    * Broadcast/Shuffle mode — a stale memoized count could otherwise keep
+    * broadcasting an index that has outgrown the threshold. */
   private val idxCountMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, java.lang.Long]())
 

@@ -68,7 +68,11 @@ object Publish {
           escapeHtml(col("tag_key")), lit("</a>")))
         .otherwise(concat(lit("<span class=\"err\">"),
           escapeHtml(when(col("error_class") === "ok", lit("missing_tag_key"))
-            .otherwise(col("error_class"))), lit("</span>"))),
+            // error_class is non-null by the input contract (tagClassify
+            // output), but a row from a looser upstream must degrade to a
+            // visible class, not null the whole line out of the table
+            .otherwise(coalesce(col("error_class"), lit("null_error_class")))),
+          lit("</span>"))),
       lit("</td><td><a href=\""), osmHref, lit("\">osm</a> "),
       lit("<a href=\""), josmHref, lit("\">josm</a></td></tr>"))
     val page = features

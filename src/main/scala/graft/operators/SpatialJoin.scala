@@ -78,9 +78,11 @@ object SpatialJoin {
       .where(col("total") > hotThreshold)
       .select(GeoFunctions.cellFromXY(lit(z),
         col("tile_x"), col("tile_y")).as("tile"))
-      // ordered before the limit (round-6, r5 advice): at the maxHot
-      // boundary the retained subset must not depend on plan or
-      // partitioning — tile id is a total, content-deterministic order
+      // ordered before the limit (round-6, r5 advice): the loud require
+      // below means a truncated prefix is never consumed, so this only
+      // pins the collected SEQUENCE (and the InSet literal built from it)
+      // to a content-deterministic order across plans/partitionings —
+      // cheap on a relation already bounded by the threshold
       .orderBy(col("tile"))
       .limit(maxHot + 1).collect().map(_.getLong(0)).toSeq
     require(hot.length <= maxHot,

@@ -79,7 +79,10 @@ class VectorSpec extends SparkTestBase {
         Similarity.lshBucketHof(col("embedding"), 64, 8).as("b"))
       .orderBy("vec_id").collect()
     assert(got.toSeq == want.toSeq)
-    val q = emb.select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+    // ordered before limit: an unordered limit may pick different rows on
+    // each of the two crossJoin executions below
+    val q = emb.orderBy("vec_id")
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
       .limit(20)
     val gotDot = q.as("a").crossJoin(q.as("b"))
       .select(Similarity.qdot(col("a.q"), col("b.q")).as("s"))
