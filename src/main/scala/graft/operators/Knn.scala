@@ -116,40 +116,44 @@ object Knn {
     // lazily by the first round's doneKeys job chain (see below).
     var pending = -1L
     val w = Window.partitionBy($"__k").orderBy($"d2", $"__fid")
+    val wk = Window.partitionBy($"__k") // full-partition frame (no ordering)
 
     while (round < maxRounds && pending != 0L) {
       val idxSide = if (broadcastIndex) fIdx.hint("broadcast")
                     else fIdx.hint("merge") // sort-merge, both sides shuffle on cell
-      // checkpoint: candidates feed two consumers per round (the done-key
-      // derivation and the resolved slice) — materialize the expensive
-      // explode+join+window once instead of recomputing it per consumer
-      val candidates = unresolved
-        .withColumn("probe", explode(GeoFunctions.cellDisk($"pcell", lit(n))))
-        .join(idxSide, $"probe" === idxSide("fcell"))
-        .withColumn("d2", GeoFunctions.d2($"__plat", $"__plon", $"__flat", $"__flon"))
-        .withColumn("rank", row_number().over(w))
-        .where($"rank" <= k)
-        .localCheckpoint(true)
-
       val guarantee = n.toDouble * minDim
       val full = n >= gridMax // disk covered the whole grid: always resolved
       // STRICT inequality (on squared distance, no sqrt): a feature exactly
       // at distance n*minDim can sit just outside disk(n) with a smaller
       // fid; a distance tie on the boundary must force one more expansion
       // round or the (d2, fid) tie-break could miss the unprobed feature.
-      // doneKeys is the ONE derived frame both consumers share (round-2
-      // review item: one checkpointed frame feeds resolved + unresolved, no
-      // separate isEmpty action); it is tiny (<= one row per unresolved key).
-      val doneKeys = candidates.groupBy($"__k")
-        .agg(count("*").as("__cnt"), max($"d2").as("__dmax"))
-        .where(lit(full) || ($"__cnt" === k && $"__dmax" < guarantee * guarantee))
-        .select("__k")
+      //
+      // round-6 fusion: the per-key resolution verdict rides ON the
+      // candidates frame as a window column (count/max over the top-k rows
+      // share the row_number window's hash-partitioning on __k, so the
+      // second Window adds no exchange and no sort) instead of a separate
+      // groupBy + localCheckpoint job per round. The checkpoint remains the
+      // one materialization all three consumers (resolved slice, done-key
+      // count, next round's anti-join) read.
+      val candidates = unresolved
+        .withColumn("probe", explode(GeoFunctions.cellDisk($"pcell", lit(n))))
+        .join(idxSide, $"probe" === idxSide("fcell"))
+        .withColumn("d2", GeoFunctions.d2($"__plat", $"__plon", $"__flat", $"__flon"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= k)
+        .withColumn("__done",
+          lit(full) || (count(lit(1)).over(wk) === k &&
+            max($"d2").over(wk) < lit(guarantee * guarantee)))
         .localCheckpoint(true)
 
-      // resolved slice: cheap lineage over two checkpointed frames — no
-      // per-round accumulator checkpoint (round 2 re-checkpointed the
-      // GROWING union every round); the final union is one plan at the end
-      resolvedParts += candidates.join(doneKeys, "__k")
+      // tiny derived frames over the checkpoint (<= one row per done key);
+      // rank=1 picks exactly one row per key, so no distinct pass is needed
+      val doneKeys = candidates.where($"__done" && $"rank" === 1).select($"__k")
+
+      // resolved slice: a FILTER over the checkpointed frame — the per-round
+      // join against the done-key set is gone; the final union is one plan
+      // of filters at the end
+      resolvedParts += candidates.where($"__done")
 
       // first round only; DISTINCT keys, the unit doneKeys.count decrements
       if (pending < 0L) pending = unresolved.select($"__k").distinct().count()
