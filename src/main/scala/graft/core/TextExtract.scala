@@ -157,19 +157,22 @@ object TextExtract {
     * tested in TextSpec, and the TokenCountWs(ExtractText(_)) rewrite in
     * GraftExtensions applies it plan-wide. */
   def extractTokenCount(html: Array[Byte]): Int = {
-    // ASCII fast path: when every byte is < 0x80, char == byte for the
-    // whole grammar (tag names, entities, Character.isWhitespace on
-    // 0x09-0x0D/0x1C-0x1F/0x20), so both passes run on the raw bytes with
-    // ZERO string/char decoding — the common case for web markup. Any
-    // high byte falls back to the exact string path (multibyte text,
-    // malformed-UTF-8 replacement, unicode whitespace classes).
-    var i = 0
-    while (i < html.length) {
-      if (html(i) < 0) return countTokensFromString(
-        new String(html, StandardCharsets.UTF_8))
-      i += 1
-    }
-    countTokensAscii(html)
+    // ASCII fast path (round-6 session 2: ONE fused pass — tag/script
+    // drop, cross-tag entity decode and token counting run in a single
+    // scan of the raw bytes; previously an ASCII pre-pass + strip-to-
+    // buffer pass + counting pass, i.e. ~3 passes and a copy per row).
+    // The fused scan bails with -1 the moment a byte >= 0x80 reaches TEXT
+    // content, an entity window, or a script/style name boundary — those
+    // need the exact string path (unicode whitespace classes, REPLACE
+    // decoding, Character.isLetterOrDigit). High bytes wholly inside
+    // dropped tags or script/style bodies stay on the fast path: '<' and
+    // '>' and the close-marker letters are ASCII, and no UTF-8 multibyte
+    // (or malformed-REPLACE) byte can alias or consume an ASCII byte, so
+    // the skip logic is byte/char equivalent there (fuzz-pinned in
+    // TextSpec, incl. unicode-inside-tag samples).
+    val n = countTokensAsciiFused(html)
+    if (n >= 0) n
+    else countTokensFromString(new String(html, StandardCharsets.UTF_8))
   }
 
   def countTokensFromString(raw: String): Int = {
@@ -203,10 +206,169 @@ object TextExtract {
     spaces + 1
   }
 
-  // --- ASCII byte-level twins of stripTags + the counting pass (the
-  // extractTokenCount fast path; semantics proven equal to the string
-  // path for all-ASCII input by the TextSpec fuzz, which routes unicode
-  // fragments to the fallback and ASCII-only ones here) ---
+  // --- ASCII byte-level twins of stripTags + the counting pass.
+  // countTokensAsciiFused is the extractTokenCount fast path (one scan);
+  // countTokensAsciiTwoPass is the pre-fusion strip-then-count form, kept
+  // as the parity reference the TextSpec fuzz pins the fused machine
+  // against (in addition to the authoritative string-path oracle). ---
+
+  /** Fused single-pass ASCII counter: the strip dispatch runs directly on
+    * the raw bytes and every surviving content byte feeds a tiny
+    * entity/whitespace state machine ([[AsciiTokenMachine]]) — no scratch
+    * buffer, no second pass. Returns -1 when a byte >= 0x80 reaches text
+    * content, a pending entity window, or the byte right after a
+    * script/style name (whose letter-or-digit classification is
+    * char-semantic): the caller must then take the exact string path.
+    * High bytes confined to tag/script interiors are skipped byte-wise,
+    * which is exactly what the decoded-string strip does there (ASCII
+    * delimiters cannot be produced or consumed by multibyte/malformed
+    * UTF-8 sequences). */
+  private[core] def countTokensAsciiFused(s: Array[Byte]): Int = {
+    val m = new AsciiTokenMachine
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '<') {
+        var dropped = false
+        var w = 0
+        while (!dropped && w < 2) {
+          val name = if (w == 0) "script" else "style"
+          if (startsWithCIB(s, i + 1, name)) {
+            val bAfter = i + 1 + name.length
+            if (bAfter < s.length && s(bAfter) < 0)
+              return -1 // char-class of the boundary byte is not ASCII-decidable
+            if (bAfter == s.length || !isAsciiLetterOrDigit(s(bAfter))) {
+              val close = "</" + name + ">"
+              val end = indexOfCIB(s, i, close)
+              i = if (end < 0) s.length else end + close.length
+              dropped = true
+            }
+          }
+          w += 1
+        }
+        if (!dropped) {
+          var gt = i + 1
+          while (gt < s.length && s(gt) != '>') gt += 1
+          i = if (gt >= s.length) s.length else gt + 1
+        }
+      } else if (c < 0) {
+        return -1
+      } else if (m.idle) {
+        // run-skip fast path (no pending entity): only the FIRST byte of a
+        // plain or whitespace run changes counter state — the rest of the
+        // run is consumed by a 2-op table loop. Both tables are false for
+        // '<', '&' and bytes >= 0x80, so runs always stop exactly at the
+        // next dispatch-relevant byte.
+        if (c == '&') { m.feed(c); i += 1 }
+        else if (WsB(c)) {
+          m.wsChar(); i += 1
+          while (i < s.length && WsB(s(i) & 0xff)) i += 1
+        } else {
+          m.plainChar(); i += 1
+          while (i < s.length && PlainB(s(i) & 0xff)) i += 1
+        }
+      } else {
+        m.feed(c)
+        i += 1
+      }
+    }
+    m.finish()
+  }
+
+  // byte-class tables for the fused scanner's run loops (index b & 0xff).
+  // WS = the ASCII subset of Character.isWhitespace (0x09-0x0D, 0x1C-0x1F,
+  // 0x20); PLAIN = ASCII and none of '<' '&' or WS. Bytes >= 0x80 are in
+  // neither class.
+  private val WsB: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    var c = 0x09; while (c <= 0x0D) { t(c) = true; c += 1 }
+    c = 0x1C; while (c <= 0x1F) { t(c) = true; c += 1 }
+    t(0x20) = true
+    t
+  }
+  private val PlainB: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    var c = 0
+    while (c < 128) { t(c) = !WsB(c) && c != '<' && c != '&'; c += 1 }
+    t
+  }
+
+  /** The post-strip entity + whitespace-collapse token counter as a
+    * streaming byte machine. The only buffered state is the pending
+    * entity window ('&' + up to 10 more chars — a ';' beyond offset 10
+    * can no longer resolve, the exact `semi - i <= 10` rule of the
+    * buffered form). A failed window emits its '&' and RE-FEEDS the tail
+    * through the machine — the streaming equivalent of the buffered
+    * form's "emit '&', resume scanning at the next char", which may start
+    * a new entity inside the old window. The re-feed runs in place over
+    * the `ent` array: writes (a new pending) always trail reads (the old
+    * tail), at every nesting depth, so no copy is needed; nesting depth
+    * and the drain loop in [[finish]] are bounded because each flush
+    * consumes the leading '&'. */
+  private final class AsciiTokenMachine {
+    private[this] var spaces = 0
+    private[this] var pendingSpace = false
+    private[this] var started = false
+    private[this] val ent = new Array[Byte](12)
+    private[this] var entLen = 0
+
+    @inline private def emitCp(cp: Int): Unit = {
+      // int overload == per-char semantics here: all whitespace codepoints
+      // are BMP, and surrogate halves of supplementary chars are never
+      // whitespace either way. ASCII range test inlined (identical set to
+      // Character.isWhitespace below 0x80: 0x09-0x0D, 0x1C-0x1F, 0x20);
+      // entity-decoded codepoints >= 0x80 take the library classifier.
+      val ws =
+        if (cp < 0x80) cp == 0x20 || (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F)
+        else Character.isWhitespace(cp)
+      if (ws) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { spaces += 1; pendingSpace = false }
+        started = true
+      }
+    }
+
+    /** No pending entity — the caller may take the run-skip fast path. */
+    def idle: Boolean = entLen == 0
+
+    /** State update for the first byte of a plain (non-ws, non-'&',
+      * non-'<', ASCII) run — emitCp(non-ws) with the classification
+      * pre-decided by the caller's table. */
+    def plainChar(): Unit = {
+      if (pendingSpace) { spaces += 1; pendingSpace = false }
+      started = true
+    }
+
+    /** State update for the first byte of an ASCII whitespace run. */
+    def wsChar(): Unit = { if (started) pendingSpace = true }
+
+    def feed(c: Byte): Unit = {
+      if (entLen == 0) {
+        if (c == '&') { ent(0) = '&'; entLen = 1 }
+        else emitCp(c)
+      } else {
+        ent(entLen) = c
+        entLen += 1
+        if (c == ';' && entLen <= 11) { // ';' at offset <= 10: decodable window
+          val cp = entityCodepointAscii(ent, 1, entLen - 1)
+          if (cp >= 0) { entLen = 0; emitCp(cp) } else flushFailed()
+        } else if (entLen == 12) flushFailed() // window exceeded
+      }
+    }
+
+    private def flushFailed(): Unit = {
+      val n = entLen
+      entLen = 0
+      emitCp('&')
+      var k = 1
+      while (k < n) { feed(ent(k)); k += 1 }
+    }
+
+    def finish(): Int = {
+      while (entLen > 0) flushFailed() // EOF drain; shrinks every round
+      spaces + 1
+    }
+  }
 
   @inline private def startsWithCIB(s: Array[Byte], i: Int, word: String): Boolean = {
     if (i + word.length > s.length) return false
@@ -239,7 +401,10 @@ object TextExtract {
     override def initialValue(): Array[Byte] = new Array[Byte](8192)
   }
 
-  private def countTokensAscii(s: Array[Byte]): Int = {
+  /** Pre-fusion reference (strip-to-buffer, then count). PRECONDITION:
+    * all-ASCII input (the old pre-pass guaranteed it). Used only by the
+    * TextSpec parity fuzz against [[countTokensAsciiFused]]. */
+  private[core] def countTokensAsciiTwoPass(s: Array[Byte]): Int = {
     // pass 1: strip tags + script/style blocks into a byte buffer
     var buf = tlStripBuf.get()
     if (buf.length < s.length) {

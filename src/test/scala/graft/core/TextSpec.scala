@@ -61,6 +61,50 @@ class TextSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("fused single-pass counter == two-pass reference + string oracle (round-6 s2)") {
+    import org.scalacheck.Gen
+    def twoStep(s: String): Int =
+      TextExtract.countWsTokens(TextExtract.extractFromString(s))
+    // machine-specific goldens: failed-window re-feed that starts a NEW
+    // entity ("&a&lt;b"), nested failures ("&&&&&amp;"), ';'-at-offset-11
+    // window overflow, entity resolving mid-re-feed, EOF drain chains,
+    // entities split across several tags
+    Seq("&a&lt;b", "&&amp;", "&&&&&amp;", "&abcdefghij;x", "&abcdefghijk;x",
+        "&#3&#32;2;", "a&am<b></b>p;b", "&am<b>p", "&amp<i>;x",
+        "&#x3C;&#x3C;", "&#32&#32;;", "tail&abc", "tail&abc&",
+        "& &amp; &", "&;&;&;", "&lt<script>x</script>;y").foreach { s =>
+      assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s"golden: $s")
+      assert(TextExtract.countTokensAsciiFused(b(s))
+        == TextExtract.countTokensAsciiTwoPass(b(s)), s"ref parity: $s")
+    }
+    // fused == two-pass reference on ASCII fuzz (the string-path oracle is
+    // already asserted by the test above; this pins the two byte machines
+    // against each other directly)
+    val asciiFrag = Gen.oneOf(
+      Gen.oneOf("a", "bb", "word", " ", "  ", "\n", "\t", ";", "&"),
+      Gen.oneOf("<p>", "</p>", "<", ">", "<br/>", "<script>d</script>",
+        "<style>s{}</style>", "</script>", "<style"),
+      Gen.oneOf("&amp;", "&lt;", "&#32;", "&#160;", "&#x41;", "&unknown;",
+        "&#", "&#x;", "&am", "p;", "&#999999999999;"))
+    forAll(Gen.listOfN(30, asciiFrag).map(_.mkString)) { s =>
+      assert(TextExtract.countTokensAsciiFused(b(s))
+        == TextExtract.countTokensAsciiTwoPass(b(s)), s)
+      assert(TextExtract.extractTokenCount(b(s)) == twoStep(s), s)
+    }
+    // path selection: high bytes confined to tag/script interiors stay on
+    // the fast path (and agree with the string oracle); high bytes in text
+    // content, entity windows, or at a script-name boundary bail to -1
+    for (s <- Seq("<d中iv>a b", "<p title='中文'>x</p>", "y<script>var s='中'</script>z"))
+      assert(TextExtract.countTokensAsciiFused(b(s)) == twoStep(s), s"fast: $s")
+    for (s <- Seq("a中b", "x&am中;", "<script中>x</script>"))
+      assert(TextExtract.countTokensAsciiFused(b(s)) == -1, s"bail: $s")
+    // the script-boundary bail exists because char-classing is unicode-
+    // aware on the string path: isLetterOrDigit('中') makes <script中> a
+    // PLAIN tag there — the fallback must reproduce that
+    assert(TextExtract.extractTokenCount(b("<script中>x</script>y"))
+      == twoStep("<script中>x</script>y"))
+  }
+
   test("extract determinism: same bytes -> same string, repeated") {
     val html = b("<html><p>a&amp;b</p><script>x</script> tail </html>")
     val once = TextExtract.extract(html)
